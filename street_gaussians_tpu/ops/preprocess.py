@@ -1,0 +1,268 @@
+"""Per-Gaussian screen-space preprocess: projection, EWA 2D covariance,
+conic, radius, tile rect, SH->RGB.
+
+Pure jnp, fully vectorized over the N Gaussians — XLA fuses the whole
+thing into a handful of elementwise kernels; no Pallas needed here.
+
+The math replicates the reference CUDA preprocess exactly so the
+rendered image and gradients are comparable:
+  * frustum cull at view z <= 0.2 (ref: cuda_rasterizer/auxiliary.h:139-164)
+  * homogeneous divide with +1e-7 (ref: forward.cu:199)
+  * cov3D from quat+scale (ref: forward.cu:118-152)
+  * EWA Jacobian with 1.3*tan_fov clamp + 0.3px low-pass
+    (ref: forward.cu:74-113)
+  * radius = ceil(3 sqrt(max eigenvalue)) (ref: forward.cu:229-232)
+  * SH evaluated along camera->mean direction, shifted +0.5, clamped >= 0
+    (ref: forward.cu:20-71)
+  * tile rect via getRect (ref: auxiliary.h:46-56)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from street_gaussians_tpu.utils import sh as sh_utils
+from street_gaussians_tpu.utils.quaternion import build_scaling_rotation
+
+TILE = 16  # pixels per tile side (ref: cuda_rasterizer/config.h:17-18)
+NEAR_Z = 0.2
+LOWPASS = 0.3
+
+
+class GaussianScreenData(NamedTuple):
+    """Screen-space data for every (padded) Gaussian. All [N, ...]."""
+
+    mean2d: jnp.ndarray  # [N, 2] pixel coords
+    depth: jnp.ndarray  # [N] view-space z
+    conic: jnp.ndarray  # [N, 3] inverse 2D covariance (a, b, c)
+    radius: jnp.ndarray  # [N] float pixel radius (0 for culled)
+    rgb: jnp.ndarray  # [N, 3] view-dependent color (clamped >= 0)
+    opacity: jnp.ndarray  # [N]
+    valid: jnp.ndarray  # [N] bool: survives culling
+    rect_min: jnp.ndarray  # [N, 2] int32 tile coords (x, y), inclusive
+    rect_max: jnp.ndarray  # [N, 2] int32 tile coords, exclusive
+    tiles_touched: jnp.ndarray  # [N] int32 (0 for culled)
+
+
+def compute_cov3d(scale: jnp.ndarray, quat: jnp.ndarray, scale_mod: float = 1.0) -> jnp.ndarray:
+    """[..., 3] scale + [..., 4] quat -> [..., 6] packed upper-tri cov3D
+    (xx, xy, xz, yy, yz, zz), matching forward.cu:118-152."""
+    L = build_scaling_rotation(scale * scale_mod, quat)  # R @ diag(s)
+    sigma = L @ jnp.swapaxes(L, -1, -2)
+    return jnp.stack(
+        [
+            sigma[..., 0, 0],
+            sigma[..., 0, 1],
+            sigma[..., 0, 2],
+            sigma[..., 1, 1],
+            sigma[..., 1, 2],
+            sigma[..., 2, 2],
+        ],
+        axis=-1,
+    )
+
+
+def _compute_cov2d(
+    mean3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    w2c: jnp.ndarray,
+    focal_x,
+    focal_y,
+    tan_fovx,
+    tan_fovy,
+) -> jnp.ndarray:
+    """EWA projection of the 3D covariance to 2D (ref: forward.cu:74-113).
+
+    mean3d [N,3], cov3d [N,6] packed; returns [N,3] = (cov_xx, cov_xy, cov_yy)
+    with the 0.3 px low-pass added.
+    """
+    R = w2c[:3, :3]
+    t = mean3d @ R.T + w2c[:3, 3]
+    tz = t[:, 2]
+
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    txtz = jnp.clip(t[:, 0] / tz, -limx, limx) * tz
+    tytz = jnp.clip(t[:, 1] / tz, -limy, limy) * tz
+
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    # J is the 2x3 Jacobian of the perspective projection at the
+    # (fov-clamped) view-space point.
+    j00 = focal_x * inv_z
+    j02 = -focal_x * txtz * inv_z2
+    j11 = focal_y * inv_z
+    j12 = -focal_y * tytz * inv_z2
+
+    # M = J @ R : [N, 2, 3]
+    zeros = jnp.zeros_like(j00)
+    J = jnp.stack(
+        [
+            jnp.stack([j00, zeros, j02], axis=-1),
+            jnp.stack([zeros, j11, j12], axis=-1),
+        ],
+        axis=-2,
+    )
+    M = jnp.einsum("nij,jk->nik", J, R)
+
+    # Sigma (full 3x3) from packed
+    xx, xy, xz, yy, yz, zz = (cov3d[:, i] for i in range(6))
+    Sigma = jnp.stack(
+        [
+            jnp.stack([xx, xy, xz], axis=-1),
+            jnp.stack([xy, yy, yz], axis=-1),
+            jnp.stack([xz, yz, zz], axis=-1),
+        ],
+        axis=-2,
+    )
+    cov2d = jnp.einsum("nij,njk,nlk->nil", M, Sigma, M)
+    return jnp.stack(
+        [
+            cov2d[:, 0, 0] + LOWPASS,
+            cov2d[:, 0, 1],
+            cov2d[:, 1, 1] + LOWPASS,
+        ],
+        axis=-1,
+    )
+
+
+def preprocess_gaussians(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    shs: Optional[jnp.ndarray],
+    cam_w2c: jnp.ndarray,
+    cam_full_proj: jnp.ndarray,
+    cam_center: jnp.ndarray,
+    H: int,
+    W: int,
+    focal_x,
+    focal_y,
+    tan_fovx,
+    tan_fovy,
+    sh_degree: int = 3,
+    scale_modifier: float = 1.0,
+    alive: Optional[jnp.ndarray] = None,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    cov3d_precomp: Optional[jnp.ndarray] = None,
+    max_tiles_per_gaussian: Optional[int] = None,
+) -> GaussianScreenData:
+    """Vectorized preprocess of N Gaussians for one camera.
+
+    shs: [N, K, 3] SH coefficients (band-major, K >= (sh_degree+1)^2), or
+    None when colors_precomp [N, 3] is given.
+    alive: optional [N] bool — padded/dead slots are culled.
+    max_tiles_per_gaussian: clamps the tile rect (centered on the mean) so
+    one huge Gaussian cannot blow the instance budget; None = unclamped.
+    """
+    n = means3d.shape[0]
+    grid_x = (W + TILE - 1) // TILE
+    grid_y = (H + TILE - 1) // TILE
+
+    # --- frustum cull (view z) ---
+    t = means3d @ cam_w2c[:3, :3].T + cam_w2c[:3, 3]
+    depth = t[:, 2]
+    in_front = depth > NEAR_Z
+
+    # --- projection ---
+    hom = means3d @ cam_full_proj[:3, :3].T + cam_full_proj[:3, 3]
+    w_clip = means3d @ cam_full_proj[3, :3] + cam_full_proj[3, 3]
+    inv_w = 1.0 / (w_clip + 1e-7)
+    ndc = hom * inv_w[:, None]
+    mean2d = jnp.stack(
+        [
+            ((ndc[:, 0] + 1.0) * W - 1.0) * 0.5,
+            ((ndc[:, 1] + 1.0) * H - 1.0) * 0.5,
+        ],
+        axis=-1,
+    )
+
+    # --- covariance ---
+    if cov3d_precomp is None:
+        cov3d = compute_cov3d(scales, quats, scale_modifier)
+    else:
+        cov3d = cov3d_precomp
+    cov2d = _compute_cov2d(means3d, cov3d, cam_w2c, focal_x, focal_y, tan_fovx, tan_fovy)
+
+    det = cov2d[:, 0] * cov2d[:, 2] - cov2d[:, 1] * cov2d[:, 1]
+    det_valid = det != 0.0
+    inv_det = 1.0 / jnp.where(det_valid, det, 1.0)
+    conic = jnp.stack(
+        [cov2d[:, 2] * inv_det, -cov2d[:, 1] * inv_det, cov2d[:, 0] * inv_det],
+        axis=-1,
+    )
+
+    mid = 0.5 * (cov2d[:, 0] + cov2d[:, 2])
+    disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lambda1 = mid + disc
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
+
+    # --- tile rect (ref: auxiliary.h:46-56) ---
+    rect_min = jnp.stack(
+        [
+            jnp.clip(((mean2d[:, 0] - radius) / TILE).astype(jnp.int32), 0, grid_x),
+            jnp.clip(((mean2d[:, 1] - radius) / TILE).astype(jnp.int32), 0, grid_y),
+        ],
+        axis=-1,
+    )
+    rect_max = jnp.stack(
+        [
+            jnp.clip(
+                ((mean2d[:, 0] + radius + TILE - 1) / TILE).astype(jnp.int32), 0, grid_x
+            ),
+            jnp.clip(
+                ((mean2d[:, 1] + radius + TILE - 1) / TILE).astype(jnp.int32), 0, grid_y
+            ),
+        ],
+        axis=-1,
+    )
+    if max_tiles_per_gaussian is not None:
+        # clamp the rect around the tile containing the mean, keeping the
+        # total tile count <= max_tiles_per_gaussian (side <= sqrt(max))
+        side = max(1, int(max_tiles_per_gaussian ** 0.5))
+        ctr = jnp.clip(
+            (mean2d / TILE).astype(jnp.int32),
+            jnp.zeros(2, jnp.int32),
+            jnp.array([grid_x - 1, grid_y - 1], jnp.int32),
+        )
+        half = side // 2
+        rect_min = jnp.maximum(rect_min, ctr - half)
+        rect_max = jnp.minimum(rect_max, ctr + (side - half))
+        rect_max = jnp.maximum(rect_max, rect_min)
+
+    rect_wh = rect_max - rect_min
+    tiles_touched = rect_wh[:, 0] * rect_wh[:, 1]
+
+    valid = in_front & det_valid & (tiles_touched > 0)
+    if alive is not None:
+        valid = valid & alive
+
+    # --- color ---
+    if colors_precomp is None:
+        assert shs is not None
+        dirs = means3d - cam_center[None, :]
+        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+        basis = sh_utils.sh_basis(sh_degree, dirs)  # [N, K']
+        k = basis.shape[-1]
+        rgb = jnp.einsum("nk,nkc->nc", basis, shs[:, :k, :]) + 0.5
+        rgb = jnp.maximum(rgb, 0.0)
+    else:
+        rgb = colors_precomp
+
+    zero = jnp.zeros((), means3d.dtype)
+    return GaussianScreenData(
+        mean2d=mean2d,
+        depth=jnp.where(valid, depth, zero),
+        conic=conic,
+        radius=jnp.where(valid, radius, zero),
+        rgb=rgb,
+        opacity=opacities.reshape(n),
+        valid=valid,
+        rect_min=rect_min,
+        rect_max=rect_max,
+        tiles_touched=jnp.where(valid, tiles_touched, 0).astype(jnp.int32),
+    )

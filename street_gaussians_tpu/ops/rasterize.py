@@ -1,0 +1,149 @@
+"""Public rasterization API: preprocess -> binning -> payload gather ->
+Pallas tile blend -> image assembly + background compositing.
+
+Functional equivalent of the reference's GaussianRasterizer call
+(ref: diff_gaussian_rasterization/__init__.py:181-260 and
+lib/models/street_gaussian_renderer.py:122-278), returning the same
+channels: rgb, acc (1-T), expected depth, optional semantic planes.
+
+Everything outside `tile_blend` is plain jnp and participates in XLA
+autodiff — in particular the payload gather, whose transpose is the
+deterministic scatter-add that replaces the CUDA backward's atomics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from street_gaussians_tpu.ops import binning as binning_lib
+from street_gaussians_tpu.ops import tile_raster
+from street_gaussians_tpu.ops.preprocess import TILE, GaussianScreenData
+from street_gaussians_tpu.ops.tile_raster import PAYLOAD_HEADER, payload_rows, tile_blend
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeConfig:
+    """Static capacities for the fixed-shape pipeline."""
+
+    tile_capacity: int = 1024  # max gaussians blended per tile
+    instance_capacity: int = 2 ** 20  # max (gaussian, tile) instances
+    interpret: bool = False  # run the Pallas kernel in interpreter mode
+
+
+def _grid_dims(H: int, W: int):
+    return (W + TILE - 1) // TILE, (H + TILE - 1) // TILE
+
+
+def rasterize(
+    screen: GaussianScreenData,
+    H: int,
+    W: int,
+    bg_color: jnp.ndarray,
+    extra_features: Optional[jnp.ndarray] = None,
+    config: RasterizeConfig = RasterizeConfig(),
+) -> Dict[str, jnp.ndarray]:
+    """Rasterize preprocessed Gaussians to an image.
+
+    screen: output of `preprocess_gaussians` (all [N, ...]).
+    extra_features: optional [N, S] additional blend channels
+      (e.g. semantic logits, normals).
+    bg_color: [3] background composited as rgb + T * bg
+      (ref: forward.cu:462-465).
+
+    Returns dict with rgb [H,W,3], acc [H,W], depth [H,W], T [H,W],
+    extra [H,W,S] (if requested), plus binning diagnostics.
+    """
+    grid_x, grid_y = _grid_dims(H, W)
+    num_tiles = grid_x * grid_y
+
+    feats = [screen.rgb, screen.depth[:, None]]
+    if extra_features is not None:
+        feats.append(extra_features)
+    features = jnp.concatenate(feats, axis=-1)  # [N, F]
+    F = features.shape[-1]
+
+    bins = binning_lib.bin_gaussians(
+        screen, grid_x, grid_y, config.instance_capacity, config.tile_capacity
+    )
+
+    # ---- payload gather (differentiable) ----
+    idx = bins.tile_gauss  # [num_tiles, K]
+    safe = jnp.maximum(idx, 0)
+    empty = idx < 0
+    mean2d = screen.mean2d[safe]  # [T, K, 2]
+    conic = screen.conic[safe]  # [T, K, 3]
+    opacity = jnp.where(empty, 0.0, screen.opacity[safe])  # [T, K]
+    feat_g = features[safe]  # [T, K, F]
+
+    c_pad = payload_rows(F)
+    rows = [
+        mean2d[..., 0],
+        mean2d[..., 1],
+        conic[..., 0],
+        conic[..., 1],
+        conic[..., 2],
+        opacity,
+    ] + [feat_g[..., i] for i in range(F)]
+    payload = jnp.stack(rows, axis=1)  # [T, 6+F, K]
+    pad = c_pad - payload.shape[1]
+    if pad:
+        payload = jnp.pad(payload, ((0, 0), (0, pad), (0, 0)))
+
+    # ---- blend ----
+    out = tile_blend(
+        payload, bins.tile_count, F, grid_x, config.interpret
+    )  # [T, 256, F+1]
+
+    # ---- image assembly ----
+    img = (
+        out.reshape(grid_y, grid_x, TILE, TILE, F + 1)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(grid_y * TILE, grid_x * TILE, F + 1)[:H, :W]
+    )
+    accum = img[..., :F]
+    T = img[..., F]
+
+    rgb = accum[..., 0:3] + T[..., None] * bg_color[None, None, :]
+    result = {
+        "rgb": rgb,
+        "depth": accum[..., 3],
+        "acc": 1.0 - T,
+        "T": T,
+        "num_instances": bins.num_instances,
+        "overflow": bins.overflow,
+    }
+    if extra_features is not None:
+        result["extra"] = accum[..., 4:]
+    return result
+
+
+def render_reference(
+    screen: GaussianScreenData,
+    H: int,
+    W: int,
+    bg_color: jnp.ndarray,
+    extra_features: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Same contract as `rasterize` but via the slow exact oracle."""
+    from street_gaussians_tpu.ops.reference_rasterizer import reference_render
+
+    feats = [screen.rgb, screen.depth[:, None]]
+    if extra_features is not None:
+        feats.append(extra_features)
+    features = jnp.concatenate(feats, axis=-1)
+
+    out = reference_render(screen, features, H, W)
+    accum, T = out.features, out.transmittance
+    result = {
+        "rgb": accum[..., 0:3] + T[..., None] * bg_color[None, None, :],
+        "depth": accum[..., 3],
+        "acc": 1.0 - T,
+        "T": T,
+    }
+    if extra_features is not None:
+        result["extra"] = accum[..., 4:]
+    return result

@@ -1,0 +1,100 @@
+"""Image losses: masked L1/L2, PSNR, SSIM — pure jnp.
+
+Matches the reference math (ref: lib/utils/loss_utils.py:21-126).
+Images are [H, W, C] (channels-last, the TPU-friendly layout) unless
+noted; the reference uses [C, H, W].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def l1_loss(pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Mean |pred - gt|; with mask [H, W, 1] or broadcastable, averages
+    over masked elements only (ref: loss_utils.py:21-36)."""
+    diff = jnp.abs(pred - gt)
+    if mask is None:
+        return jnp.mean(diff)
+    mask = jnp.broadcast_to(mask, diff.shape).astype(diff.dtype)
+    return jnp.sum(diff * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def l2_loss(pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    diff = (pred - gt) ** 2
+    if mask is None:
+        return jnp.mean(diff)
+    mask = jnp.broadcast_to(mask, diff.shape).astype(diff.dtype)
+    return jnp.sum(diff * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def psnr(pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """(ref: loss_utils.py:61-78)"""
+    mse = l2_loss(pred, gt, mask)
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+
+def _gaussian_window(window_size: int, sigma: float) -> jnp.ndarray:
+    x = jnp.arange(window_size, dtype=jnp.float32) - window_size // 2
+    g = jnp.exp(-(x ** 2) / (2.0 * sigma ** 2))
+    return g / jnp.sum(g)
+
+
+@functools.partial(jax.jit, static_argnames=("window_size",))
+def ssim(pred: jnp.ndarray, gt: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
+    """SSIM with an 11x11 gaussian window, sigma 1.5, SAME padding —
+    the exact recipe of the reference (ref: loss_utils.py:81-126).
+
+    pred/gt: [H, W, C] in [0, 1].
+    """
+    C = pred.shape[-1]
+    win1d = _gaussian_window(window_size, 1.5)
+    window = jnp.outer(win1d, win1d)  # [k, k]
+    kernel = jnp.broadcast_to(window[None, None], (C, 1, window_size, window_size))
+
+    def conv(img):
+        # depthwise conv: img [H, W, C] -> [H, W, C]
+        x = img.transpose(2, 0, 1)[None]  # [1, C, H, W]
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1, 1),
+            padding="SAME",
+            feature_group_count=C,
+        )
+        return y[0].transpose(1, 2, 0)
+
+    mu1 = conv(pred)
+    mu2 = conv(gt)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = conv(pred * pred) - mu1_sq
+    sigma2_sq = conv(gt * gt) - mu2_sq
+    sigma12 = conv(pred * gt) - mu12
+
+    c1 = 0.01 ** 2
+    c2 = 0.03 ** 2
+    ssim_map = ((2.0 * mu12 + c1) * (2.0 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
+    )
+    return jnp.mean(ssim_map)
+
+
+def binary_cross_entropy(pred: jnp.ndarray, target: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
+    """Plain BCE on probabilities (used for the sky / acc supervision,
+    ref: train.py:106-112)."""
+    p = jnp.clip(pred, eps, 1.0 - eps)
+    return -jnp.mean(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
+
+
+def entropy_loss(p: jnp.ndarray, mask: jnp.ndarray | None = None, eps: float = 1e-4) -> jnp.ndarray:
+    """Binary entropy of opacities (object-acc regularization,
+    ref: train.py:114-122)."""
+    p = jnp.clip(p, eps, 1.0 - eps)
+    ent = -(p * jnp.log(p) + (1.0 - p) * jnp.log(1.0 - p))
+    if mask is None:
+        return jnp.mean(ent)
+    mask = jnp.broadcast_to(mask, ent.shape).astype(ent.dtype)
+    return jnp.sum(ent * mask) / jnp.maximum(jnp.sum(mask), 1.0)
