@@ -1,0 +1,370 @@
+"""Composite scene-graph renderer.
+
+TPU-native equivalent of `StreetGaussianRenderer`
+(ref: lib/models/street_gaussian_renderer.py:7-280) +
+`StreetGaussianModel`'s concatenated getters
+(ref: lib/models/street_gaussian_model.py:287-480): one vectorized
+compose over the packed Gaussian buffer (per-row gathers of per-model
+pose/metadata replace the per-object Python loop), then the
+preprocess -> binning -> Pallas tile-blend pipeline, then sky cubemap
+compositing and color correction.
+
+Every Gaussian lives in the packed arrays at all times; per-frame
+visibility (actor lifetime, include/exclude subsets for
+render_object / render_background) is expressed through the `alive`
+mask fed to the rasterizer cull — shapes never change.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from street_gaussians_tpu.models import gaussians as G
+from street_gaussians_tpu.models.actor_pose import (
+    ActorInterp,
+    ActorPoseData,
+    ActorPoseParams,
+    actor_poses,
+)
+from street_gaussians_tpu.models.corrections import (
+    ColorCorrectionParams,
+    PoseCorrectionParams,
+    apply_color_correction,
+    correct_gaussian_rotation,
+    correct_gaussian_xyz,
+)
+from street_gaussians_tpu.models.sky_cubemap import SkyParams, render_sky
+from street_gaussians_tpu.ops.preprocess import preprocess_gaussians
+from street_gaussians_tpu.ops.rasterize import RasterizeConfig, rasterize
+from street_gaussians_tpu.utils import sh as sh_utils
+from street_gaussians_tpu.utils.camera import CameraJax
+from street_gaussians_tpu.utils.quaternion import (
+    quat_multiply,
+    quat_normalize,
+    quat_rotate,
+    quat_to_rotmat,
+)
+
+# 180-degree rotation about the flip axis (y) as a quaternion — the
+# reference's flip_matrix (street_gaussian_model.py:59-61).
+FLIP_QUAT = jnp.array([0.0, 0.0, 1.0, 0.0], jnp.float32)
+FLIP_AXIS = 1
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SceneParams:
+    """Every learnable leaf of the full model, as one pytree."""
+
+    gaussians: G.GaussianParams
+    actor_pose: Optional[ActorPoseParams]
+    sky: Optional[SkyParams]
+    color_correction: Optional[ColorCorrectionParams]
+    pose_correction: Optional[PoseCorrectionParams]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FrameInput:
+    """Per-camera device inputs for one render."""
+
+    cam: CameraJax
+    ego_quat: jnp.ndarray  # [4] ego rotation quaternion
+    ego_rotmat: jnp.ndarray  # [3, 3]
+    ego_trans: jnp.ndarray  # [3]
+    interp: Optional[ActorInterp]  # None when the scene has no actors
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderOptions:
+    """Static render configuration (shapes/branches under jit)."""
+
+    mode: str = "train"  # 'train' enables flip augmentation + ray jitter
+    use_semantic: bool = False
+    semantic_mode: str = "logits"
+    white_background: bool = False
+    scaling_modifier: float = 1.0
+    tile_capacity: int = 1024
+    instance_capacity: int = 2 ** 21
+    max_tiles_per_gaussian: Optional[int] = None
+    interpret: bool = False  # Pallas interpreter mode (CPU tests)
+
+
+def compose_frame(
+    params: SceneParams,
+    aux: G.GaussianAux,
+    table: G.SceneTable,
+    pose_data: Optional[ActorPoseData],
+    frame_inp: FrameInput,
+    step,
+    include_mask: Optional[np.ndarray] = None,
+    key: Optional[jax.Array] = None,
+    opts: RenderOptions = RenderOptions(),
+):
+    """World-space per-Gaussian attributes for one camera.
+
+    include_mask: static [M] bool — sub-model selection for
+    render_object / render_background (ref:
+    street_gaussian_renderer.py:42-72 set_visibility + include_list).
+    key: PRNG for the train-time symmetry flip
+    (street_gaussian_model.py:276-285).
+
+    Returns dict: means3d, scales, quats, opacity, shs, semantic,
+    visible (all [C, ...]).
+    """
+    g = params.gaussians
+    mid = aux.model_id
+    frame = frame_inp.cam.frame
+    M = table.num_models
+
+    # --- per-row visibility (actor lifetime x include set x alive) ---
+    in_range = (frame >= table.start_frame[mid]) & (frame <= table.end_frame[mid])
+    visible = aux.alive & in_range
+    if include_mask is not None:
+        inc = jnp.asarray(np.asarray(include_mask, bool))
+        visible = visible & inc[mid]
+
+    is_actor_row = mid > 0
+
+    # --- actor world poses (one vectorized slerp over all actors) ---
+    if M > 1 and frame_inp.interp is not None:
+        a_quat, a_trans = actor_poses(
+            pose_data,
+            params.actor_pose,
+            frame_inp.interp,
+            frame_inp.ego_quat,
+            frame_inp.ego_rotmat,
+            frame_inp.ego_trans,
+        )  # [M-1, 4], [M-1, 3]
+        ident = jnp.array([[1.0, 0.0, 0.0, 0.0]], jnp.float32)
+        obj_quat = jnp.concatenate([ident, a_quat], axis=0)  # [M, 4]
+        obj_trans = jnp.concatenate([jnp.zeros((1, 3), jnp.float32), a_trans], axis=0)
+    else:
+        obj_quat = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32), (M, 4))
+        obj_trans = jnp.zeros((M, 3), jnp.float32)
+
+    row_quat = obj_quat[mid]  # [C, 4]
+    row_trans = obj_trans[mid]  # [C, 3]
+
+    # --- symmetry flip augmentation (train only) ---
+    xyz_local = g.xyz
+    rot_local = g.rot
+    if opts.mode == "train" and key is not None:
+        flip = jax.random.uniform(key, (table.capacity,)) < table.flip_prob[mid]
+        xyz_local = jnp.where(
+            flip[:, None],
+            xyz_local.at[:, FLIP_AXIS].multiply(-1.0),
+            xyz_local,
+        )
+        rot_local = jnp.where(
+            flip[:, None], quat_multiply(FLIP_QUAT[None, :], rot_local), rot_local
+        )
+
+    # --- local -> world (actors) / pose correction (background) ---
+    xyz_world_actor = quat_rotate(row_quat, xyz_local) + row_trans
+    rot_world_actor = quat_normalize(quat_multiply(row_quat, quat_normalize(rot_local)))
+
+    if params.pose_correction is not None:
+        pc_idx = frame_inp.cam.image_id
+        xyz_bkgd = correct_gaussian_xyz(params.pose_correction, pc_idx, g.xyz)
+        rot_bkgd = correct_gaussian_rotation(
+            params.pose_correction, pc_idx, quat_normalize(g.rot)
+        )
+    else:
+        xyz_bkgd = g.xyz
+        rot_bkgd = quat_normalize(g.rot)
+
+    means3d = jnp.where(is_actor_row[:, None], xyz_world_actor, xyz_bkgd)
+    quats = jnp.where(is_actor_row[:, None], rot_world_actor, rot_bkgd)
+
+    # --- 4D Fourier DC features (street_gaussian_model.py:365-380) ---
+    t_norm = (frame - table.start_frame).astype(jnp.float32) / jnp.maximum(
+        (table.end_frame - table.start_frame).astype(jnp.float32), 1.0
+    )  # [M]
+    t_row = (table.fourier_scale * t_norm)[mid]  # [C]
+    basis = sh_utils.idft_basis(t_row, table.fourier_dim)  # [C, Fdim]
+    # background rows use only coefficient 0 (their fourier_dim is 1)
+    basis = jnp.where(
+        is_actor_row[:, None],
+        basis,
+        jnp.zeros_like(basis).at[:, 0].set(1.0),
+    )
+    dc = jnp.einsum("cf,cfk->ck", basis, g.feat_dc)  # [C, 3]
+
+    # --- SH band masking: per-model max degree + the global ramp ---
+    max_deg = max(table.sh_degree_bkgd, table.sh_degree_obj)
+    active = G.active_sh_degree(step, max_deg)
+    deg_row = jnp.where(
+        is_actor_row,
+        jnp.minimum(active, table.sh_degree_obj),
+        jnp.minimum(active, table.sh_degree_bkgd),
+    )  # [C]
+    K = (max_deg + 1) ** 2
+    band = jnp.floor(jnp.sqrt(jnp.arange(1, K, dtype=jnp.float32))).astype(jnp.int32)
+    rest_mask = (band[None, :] <= deg_row[:, None]).astype(jnp.float32)  # [C, K-1]
+    rest = g.feat_rest * rest_mask[..., None]
+    shs = jnp.concatenate([dc[:, None, :], rest], axis=1)  # [C, K, 3]
+
+    # --- semantics (street_gaussian_model.py:416-433; actor one-channel
+    # logits scattered into the class_label column,
+    # gaussian_model_actor.py:62-69) ---
+    semantic = None
+    if opts.use_semantic:
+        S = table.num_classes
+        onehot = jax.nn.one_hot(table.class_label[mid], S, dtype=jnp.float32)
+        obj_val = g.semantic[:, 0:1]
+        if opts.semantic_mode == "probabilities":
+            obj_val = jax.nn.sigmoid(obj_val)
+        sem_actor = onehot * obj_val
+        sem_bkgd = g.semantic[:, :S] if g.semantic.shape[1] >= S else jnp.pad(
+            g.semantic, ((0, 0), (0, S - g.semantic.shape[1]))
+        )
+        semantic = jnp.where(is_actor_row[:, None], sem_actor, sem_bkgd)
+
+    return dict(
+        means3d=means3d,
+        scales=jnp.exp(g.log_scale),
+        quats=quats,
+        opacity=jax.nn.sigmoid(g.opacity_logit)[:, 0],
+        shs=shs,
+        semantic=semantic,
+        visible=visible,
+    )
+
+
+def render_frame(
+    params: SceneParams,
+    aux: G.GaussianAux,
+    table: G.SceneTable,
+    pose_data: Optional[ActorPoseData],
+    frame_inp: FrameInput,
+    step,
+    include_mask: Optional[np.ndarray] = None,
+    key: Optional[jax.Array] = None,
+    opts: RenderOptions = RenderOptions(),
+    compose_sky: bool = True,
+    mean2d_offset: Optional[jnp.ndarray] = None,
+    absgrad_dummy: Optional[jnp.ndarray] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Full render of one camera -> dict rgb/acc/depth/T/semantic/radii...
+
+    mean2d_offset: optional [C, 2] zeros; gradients w.r.t. it are the
+    viewspace-position gradients used for densification (the functional
+    analog of the reference's retain_grad screenspace_points tensor,
+    street_gaussian_renderer.py:163-171).
+    absgrad_dummy: optional [C, 2] zeros; its gradient carries the
+    per-pixel-abs viewspace gradients (AbsGS, backward.cu:624-628).
+    """
+    cam = frame_inp.cam
+    composed = compose_frame(
+        params, aux, table, pose_data, frame_inp, step, include_mask, key, opts
+    )
+
+    max_deg = max(table.sh_degree_bkgd, table.sh_degree_obj)
+    screen = preprocess_gaussians(
+        means3d=composed["means3d"],
+        scales=composed["scales"],
+        quats=composed["quats"],
+        opacities=composed["opacity"],
+        shs=composed["shs"],
+        cam_w2c=cam.w2c,
+        cam_full_proj=cam.full_proj,
+        cam_center=cam.cam_center,
+        H=cam.H,
+        W=cam.W,
+        focal_x=cam.focal_x,
+        focal_y=cam.focal_y,
+        tan_fovx=cam.tan_fovx,
+        tan_fovy=cam.tan_fovy,
+        sh_degree=max_deg,
+        scale_modifier=opts.scaling_modifier,
+        alive=composed["visible"],
+        max_tiles_per_gaussian=opts.max_tiles_per_gaussian,
+    )
+    if mean2d_offset is not None:
+        screen = screen._replace(mean2d=screen.mean2d + mean2d_offset)
+
+    bg = jnp.ones(3, jnp.float32) if opts.white_background else jnp.zeros(3, jnp.float32)
+    out = rasterize(
+        screen,
+        cam.H,
+        cam.W,
+        bg_color=bg,
+        extra_features=composed["semantic"],
+        config=RasterizeConfig(
+            tile_capacity=opts.tile_capacity,
+            instance_capacity=opts.instance_capacity,
+            interpret=opts.interpret,
+        ),
+        absgrad_dummy=absgrad_dummy,
+    )
+
+    # --- sky compositing (street_gaussian_renderer.py:107-111) ---
+    if compose_sky and params.sky is not None:
+        jitter = None
+        if opts.mode == "train" and key is not None:
+            jitter = (
+                jax.random.uniform(
+                    jax.random.fold_in(key, 1), (cam.H, cam.W, 2)
+                )
+                - 0.5
+            )
+        sky_rgb = render_sky(params.sky, cam, jitter=jitter)
+        out["rgb"] = out["rgb"] + sky_rgb * out["T"][..., None]
+
+    # --- color correction (street_gaussian_renderer.py:113-114) ---
+    if params.color_correction is not None:
+        out["rgb"] = apply_color_correction(
+            params.color_correction, cam.image_id, out["rgb"]
+        )
+
+    if opts.mode != "train":
+        out["rgb"] = jnp.clip(out["rgb"], 0.0, 1.0)
+
+    if opts.use_semantic and "extra" in out:
+        sem = out.pop("extra")
+        if opts.semantic_mode == "probabilities":
+            sem = sem / (jnp.sum(sem, axis=-1, keepdims=True) + 1e-8)
+            sem = jnp.log(sem + 1e-8)
+        out["semantic"] = sem
+
+    out["radii"] = screen.radius
+    out["visibility"] = screen.radius > 0
+    return out
+
+
+def include_mask_for(
+    table: G.SceneTable, include=None, exclude=None
+) -> np.ndarray:
+    """Static [M] bool from model-name include/exclude lists
+    (ref: street_gaussian_model.py:474-480 set_visibility)."""
+    m = np.ones(table.num_models, bool)
+    if include is not None:
+        m[:] = False
+        for name in include:
+            if name in table.names:
+                m[table.model_index(name)] = True
+    if exclude is not None:
+        for name in exclude:
+            if name in table.names:
+                m[table.model_index(name)] = False
+    return m
+
+
+def render_object_mask(table: G.SceneTable) -> np.ndarray:
+    """Objects only (ref: street_gaussian_renderer.py:42-56 render_object)."""
+    m = np.ones(table.num_models, bool)
+    m[0] = False
+    return m
+
+
+def render_background_mask(table: G.SceneTable) -> np.ndarray:
+    """Background only (ref: street_gaussian_renderer.py:58-72)."""
+    m = np.zeros(table.num_models, bool)
+    m[0] = True
+    return m

@@ -45,6 +45,7 @@ def rasterize(
     bg_color: jnp.ndarray,
     extra_features: Optional[jnp.ndarray] = None,
     config: RasterizeConfig = RasterizeConfig(),
+    absgrad_dummy: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Rasterize preprocessed Gaussians to an image.
 
@@ -53,6 +54,10 @@ def rasterize(
       (e.g. semantic logits, normals).
     bg_color: [3] background composited as rgb + T * bg
       (ref: forward.cu:462-465).
+    absgrad_dummy: optional [N, 2] ZEROS; has no effect on the output,
+      but its gradient is the per-pixel-abs viewspace gradient sum
+      (|dL/dmx|, |dL/dmy| in pixel units) used by AbsGS densification
+      (ref: cuda_rasterizer/backward.cu:624-628 dL_dmean2D.z).
 
     Returns dict with rgb [H,W,3], acc [H,W], depth [H,W], T [H,W],
     extra [H,W,S] (if requested), plus binning diagnostics.
@@ -88,7 +93,12 @@ def rasterize(
         conic[..., 2],
         opacity,
     ] + [feat_g[..., i] for i in range(F)]
-    payload = jnp.stack(rows, axis=1)  # [T, 6+F, K]
+    if absgrad_dummy is not None:
+        absg = absgrad_dummy[safe]  # [T, K, 2]
+        rows += [absg[..., 0], absg[..., 1]]
+    else:
+        rows += [jnp.zeros_like(opacity), jnp.zeros_like(opacity)]
+    payload = jnp.stack(rows, axis=1)  # [T, 6+F+2, K]
     pad = c_pad - payload.shape[1]
     if pad:
         payload = jnp.pad(payload, ((0, 0), (0, pad), (0, 0)))

@@ -27,6 +27,13 @@ Payload layout (per tile, channel-major [C, K] so K=lanes):
   row 0: mean_x   1: mean_y   2: conic_a   3: conic_b   4: conic_c
   row 5: opacity (0 marks an empty slot)
   rows 6..6+F: blend features (rgb, depth, semantics, ...)
+  rows 6+F, 6+F+1: zero dummies whose backward rows carry the
+    PER-PIXEL-ABS mean2D gradient sums (|dL/dmx|, |dL/dmy| summed over
+    pixels before the per-Gaussian reduction) — the AbsGS densification
+    signal the CUDA kernel accumulates into dL_dmean2D.z
+    (ref: cuda_rasterizer/backward.cu:624-628). The forward ignores
+    them; the payload gather's transpose scatter-adds them into a
+    [N, 2] dummy input outside.
 
 Output layout (per tile): [256 pixels, F+1] — F accumulated feature
 channels then the final transmittance T.
@@ -51,9 +58,13 @@ T_EPS = 1e-4
 PAYLOAD_HEADER = 6  # rows before the feature rows
 
 
+ABS_ROWS = 2  # dummy rows for the per-pixel-abs mean2D gradients
+
+
 def payload_rows(num_features: int) -> int:
-    """Total payload rows, padded up to a multiple of 8 (f32 sublanes)."""
-    c = PAYLOAD_HEADER + num_features
+    """Total payload rows (incl. the 2 abs-grad dummies), padded up to a
+    multiple of 8 (f32 sublanes)."""
+    c = PAYLOAD_HEADER + num_features + ABS_ROWS
     return ((c + 7) // 8) * 8
 
 
@@ -235,6 +246,9 @@ def _bwd_kernel(
             d_cc = jnp.sum(-0.5 * dy * dy * dpow, axis=0, keepdims=True)
             d_mx = jnp.sum(-(ca * dx + cb * dy) * dpow, axis=0, keepdims=True)
             d_my = jnp.sum(-(cc * dy + cb * dx) * dpow, axis=0, keepdims=True)
+            # AbsGS: per-pixel abs BEFORE the pixel sum (backward.cu:626-628)
+            d_absx = jnp.sum(jnp.abs((ca * dx + cb * dy) * dpow), axis=0, keepdims=True)
+            d_absy = jnp.sum(jnp.abs((cc * dy + cb * dx) * dpow), axis=0, keepdims=True)
             # d_feat[f, j] = sum_p g[p, f] * w[p, j]
             d_feat = jax.lax.dot_general(
                 g,
@@ -250,6 +264,8 @@ def _bwd_kernel(
             dpayload_ref[0, 4:5, sl] = d_cc
             dpayload_ref[0, 5:6, sl] = d_op
             dpayload_ref[0, PAYLOAD_HEADER : PAYLOAD_HEADER + F, sl] = d_feat
+            dpayload_ref[0, PAYLOAD_HEADER + F : PAYLOAD_HEADER + F + 1, sl] = d_absx
+            dpayload_ref[0, PAYLOAD_HEADER + F + 1 : PAYLOAD_HEADER + F + 2, sl] = d_absy
 
             logs_eff = jnp.where(blend, logs, 0.0)
             T = T * jnp.exp(jnp.sum(logs_eff, axis=1, keepdims=True))

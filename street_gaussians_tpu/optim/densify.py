@@ -1,0 +1,301 @@
+"""Adaptive density control at static shape.
+
+TPU-native replacement for the reference's densify/clone/split/prune +
+optimizer-state surgery (ref: lib/models/gaussian_model.py:344-552,
+gaussian_model_bkgd.py:74-118, gaussian_model_actor.py:205-264): the
+packed capacity buffers never change shape — cloning/splitting writes
+new Gaussians into dead slots of the SAME model's slice via masked
+scatters, pruning clears the alive bit, and the Adam moments/counters
+receive the identical scatters (zeros for new rows), matching the
+reference's cat/prune state surgery exactly.
+
+Semantics reproduced per model kind:
+  * clone: grad >= thr and max-scale <= percent_dense * extent
+    (gaussian_model.py:494-520)
+  * split: grad >= thr and max-scale > percent_dense * extent; N=2
+    resamples from the Gaussian, scale /= 1.6, original pruned
+    (gaussian_model.py:453-492)
+  * grad source: norm column, or the AbsGS per-pixel-abs column for
+    background/objects when densify_grad_abs_* is set
+    (gaussian_model_bkgd.py:76-79, gaussian_model_actor.py:205-212);
+    actors that are random-initialized or deformable always use the
+    default threshold + norm column (gaussian_model_actor.py:206-211)
+  * prune: opacity < min_opacity; when prune_big_points (iteration >
+    opacity_reset_interval, train.py:191): background — world-size >
+    percent_big_ws * extent but only within 2x sphere radius
+    (gaussian_model_bkgd.py:94-102); actors — world-size OR the
+    2-sample outside-box test (gaussian_model_actor.py:225-250)
+
+Known deviation: the reference prunes low-opacity points AFTER
+appending this round's clones (so a clone could be pruned in the same
+round); here candidates are generated and pruning decided from the same
+pre-round state. Clones require grad >= threshold, which low-opacity
+points essentially never satisfy, so the difference is nil in practice.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from street_gaussians_tpu.models.gaussians import GaussianAux, GaussianParams, SceneTable
+from street_gaussians_tpu.optim.adam import AdamState
+from street_gaussians_tpu.utils.quaternion import quat_normalize, quat_to_rotmat
+
+
+@dataclasses.dataclass(frozen=True)
+class DensifyConfig:
+    """Static knobs (ref: lib/config/config.py:56-68 + YAML overrides)."""
+
+    densify_grad_threshold: float = 0.0002
+    densify_grad_threshold_bkgd: Optional[float] = None
+    densify_grad_threshold_obj: Optional[float] = None
+    densify_grad_abs_bkgd: bool = False
+    densify_grad_abs_obj: bool = False
+    percent_dense: float = 0.01
+    percent_big_ws: float = 0.1
+    min_opacity: float = 0.005
+
+
+def accumulate_stats(
+    aux: GaussianAux,
+    radii: jnp.ndarray,  # [C] pixel radii from preprocess
+    viewspace_grad: jnp.ndarray,  # [C, 2] signed dL/dmean2d (pixel units)
+    viewspace_absgrad: jnp.ndarray,  # [C, 2] per-pixel-abs sums (pixel units)
+    W: int,
+    H: int,
+) -> GaussianAux:
+    """Per-step densification stats (ref: street_gaussian_model.py:551-571
+    set_max_radii2D + add_densification_stats).
+
+    The CUDA kernel produces viewspace grads in NDC half-extent units
+    (ddelx_dx = 0.5 * W, backward.cu:399,624); pixel-space grads are
+    scaled by (W/2, H/2) so the reference's thresholds carry over.
+    """
+    vis = radii > 0.0
+    scale = jnp.array([W / 2.0, H / 2.0], jnp.float32)
+    g = viewspace_grad * scale[None, :]
+    ga = viewspace_absgrad * scale[None, :]
+    norm_col = jnp.linalg.norm(g, axis=-1)
+    abs_col = ga[:, 0] + ga[:, 1]  # backward.cu:626: |gx| + |gy|
+    add = jnp.stack([norm_col, abs_col], axis=-1)
+    return dataclasses.replace(
+        aux,
+        grad_accum=aux.grad_accum + jnp.where(vis[:, None], add, 0.0),
+        denom=aux.denom + vis.astype(jnp.float32),
+        max_radii=jnp.maximum(aux.max_radii, jnp.where(vis, radii, 0.0)),
+    )
+
+
+def _segment_bounds(table: SceneTable):
+    """Per-row slice start/end as jnp arrays (static constants)."""
+    starts = jnp.asarray(table.slices[:, 0].astype("int32"))
+    ends = jnp.asarray(table.slices[:, 1].astype("int32"))
+    return starts, ends
+
+
+def _rank_in_segment(flags: jnp.ndarray, seg_start_row: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive rank of True entries within their contiguous segment.
+
+    flags [C] bool; seg_start_row [C] = slice start of each row.
+    """
+    f = flags.astype(jnp.int32)
+    cs = jnp.cumsum(f)  # inclusive
+    excl = cs - f
+    base = excl[seg_start_row]  # exclusive count before the slice start
+    return excl - base
+
+
+def densify_and_prune(
+    params: GaussianParams,
+    adam: AdamState,  # moments for the GaussianParams subtree only
+    aux: GaussianAux,
+    table: SceneTable,
+    key: jax.Array,
+    cfg: DensifyConfig,
+    prune_big_points,
+) -> Tuple[GaussianParams, AdamState, GaussianAux, dict]:
+    """One densification round. Returns (params, adam, aux, diagnostics)."""
+    C = table.capacity
+    mid = aux.model_id
+    is_actor = mid > 0
+    starts, _ = _segment_bounds(table)
+    seg_start_row = starts[mid]
+
+    # ---- per-row grad signal + threshold ----
+    thr_bkgd = (
+        cfg.densify_grad_threshold
+        if cfg.densify_grad_threshold_bkgd is None
+        else cfg.densify_grad_threshold_bkgd
+    )
+    thr_obj = (
+        cfg.densify_grad_threshold
+        if cfg.densify_grad_threshold_obj is None
+        else cfg.densify_grad_threshold_obj
+    )
+    plain_actor = table.random_init[mid] | table.deformable[mid]
+    thr_row = jnp.where(
+        is_actor,
+        jnp.where(plain_actor, cfg.densify_grad_threshold, thr_obj),
+        thr_bkgd,
+    )
+    use_abs = jnp.where(
+        is_actor,
+        (~plain_actor) & cfg.densify_grad_abs_obj,
+        jnp.asarray(cfg.densify_grad_abs_bkgd),
+    )
+    col = jnp.where(use_abs, aux.grad_accum[:, 1], aux.grad_accum[:, 0])
+    grads = jnp.where(aux.denom > 0, col / jnp.maximum(aux.denom, 1.0), 0.0)
+
+    scaling = jnp.exp(params.log_scale)
+    max_scale = jnp.max(scaling, axis=1)
+    ext_row = table.extent[mid]
+
+    sel = aux.alive & (grads >= thr_row)
+    small = max_scale <= cfg.percent_dense * ext_row
+    clone = sel & small
+    split = sel & ~small
+
+    # ---- prune mask ----
+    opacity = jax.nn.sigmoid(params.opacity_logit)[:, 0]
+    prune = aux.alive & (opacity < cfg.min_opacity)
+
+    big_ws = max_scale > ext_row * cfg.percent_big_ws
+    # background: only within 2x sphere radius (gaussian_model_bkgd.py:94-102)
+    d_sphere = jnp.linalg.norm(
+        params.xyz - jnp.asarray(table.sphere_center)[None, :], axis=-1
+    )
+    big_bkgd = big_ws & (d_sphere <= 2.0 * table.sphere_radius)
+
+    # actors: big OR outside tracking box via 2-sample test
+    # (gaussian_model_actor.py:225-250)
+    key, k_box = jax.random.split(key)
+    samples = jax.random.normal(k_box, (C, 2, 3)) * scaling[:, None, :]
+    R = quat_to_rotmat(quat_normalize(params.rot))  # [C, 3, 3]
+    pts = jnp.einsum("cij,csj->csi", R, samples) + params.xyz[:, None, :]  # [C, 2, 3]
+    half = table.bbox_half[mid][:, None, :]  # [C, 1, 3]
+    inside = jnp.all((pts >= -half) & (pts <= half), axis=(1, 2))
+    big_actor = big_ws | ~inside
+
+    prune_big = jnp.where(is_actor, big_actor, big_bkgd)
+    prune = prune | (aux.alive & prune_big & prune_big_points)
+    prune = prune | split  # split originals are replaced
+    alive_after = aux.alive & ~prune
+
+    # ---- candidate generation (A: clone copy / split sample 1; B: split sample 2) ----
+    key, k_s1, k_s2 = jax.random.split(key, 3)
+
+    def split_sample(k):
+        eps = jax.random.normal(k, (C, 3)) * scaling
+        return params.xyz + jnp.einsum("cij,cj->ci", R, eps)
+
+    xyz_s1 = split_sample(k_s1)
+    xyz_s2 = split_sample(k_s2)
+    split_log_scale = jnp.log(scaling / (0.8 * 2.0))  # gaussian_model.py:474
+
+    valid_a = clone | split
+    valid_b = split
+
+    cand_xyz_a = jnp.where(split[:, None], xyz_s1, params.xyz)
+    cand_ls_a = jnp.where(split[:, None], split_log_scale, params.log_scale)
+    cand_xyz_b = xyz_s2
+    cand_ls_b = split_log_scale
+
+    # ---- slot allocation within each model's slice ----
+    free = ~alive_after
+    free_rank = _rank_in_segment(free, seg_start_row)  # [C]
+    free_count = jax.ops.segment_sum(
+        free.astype(jnp.int32), mid, num_segments=table.num_models
+    )  # [M]
+
+    # slot_by_rank[start_m + r] = index of the r-th free slot in slice m
+    slot_by_rank = jnp.zeros((C,), jnp.int32)
+    pos = jnp.where(free, seg_start_row + free_rank, C)
+    slot_by_rank = slot_by_rank.at[pos].set(
+        jnp.arange(C, dtype=jnp.int32), mode="drop"
+    )
+
+    rank_a = _rank_in_segment(valid_a, seg_start_row)
+    count_a = jax.ops.segment_sum(
+        valid_a.astype(jnp.int32), mid, num_segments=table.num_models
+    )
+    rank_b = _rank_in_segment(valid_b, seg_start_row) + count_a[mid]
+
+    def dest_of(valid, rank):
+        ok = valid & (rank < free_count[mid])
+        return jnp.where(ok, slot_by_rank[jnp.clip(seg_start_row + rank, 0, C - 1)], C), ok
+
+    dest_a, ok_a = dest_of(valid_a, rank_a)
+    dest_b, ok_b = dest_of(valid_b, rank_b)
+
+    # ---- apply: write candidates into free slots ----
+    def scatter_rows(arr, val_a, val_b):
+        arr = arr.at[dest_a].set(val_a, mode="drop")
+        return arr.at[dest_b].set(val_b, mode="drop")
+
+    new_params = GaussianParams(
+        xyz=scatter_rows(params.xyz, cand_xyz_a, cand_xyz_b),
+        feat_dc=scatter_rows(params.feat_dc, params.feat_dc, params.feat_dc),
+        feat_rest=scatter_rows(params.feat_rest, params.feat_rest, params.feat_rest),
+        log_scale=scatter_rows(params.log_scale, cand_ls_a, cand_ls_b),
+        rot=scatter_rows(params.rot, params.rot, params.rot),
+        opacity_logit=scatter_rows(
+            params.opacity_logit, params.opacity_logit, params.opacity_logit
+        ),
+        semantic=scatter_rows(params.semantic, params.semantic, params.semantic),
+    )
+
+    # Adam state surgery: new rows start with zero moments and zero step
+    # count (= freshly-created torch params, gaussian_model.py:526-545)
+    def zero_rows(tree):
+        return jax.tree.map(
+            lambda a: a.at[dest_a].set(jnp.zeros_like(a), mode="drop")
+            .at[dest_b]
+            .set(jnp.zeros_like(a), mode="drop"),
+            tree,
+        )
+
+    new_adam = AdamState(
+        mu=zero_rows(adam.mu), nu=zero_rows(adam.nu), count=zero_rows(adam.count)
+    )
+
+    new_alive = alive_after.at[dest_a].set(True, mode="drop").at[dest_b].set(
+        True, mode="drop"
+    )
+    new_aux = dataclasses.replace(
+        aux,
+        alive=new_alive,
+        grad_accum=jnp.zeros_like(aux.grad_accum),
+        denom=jnp.zeros_like(aux.denom),
+        max_radii=jnp.zeros_like(aux.max_radii),
+    )
+
+    diag = dict(
+        points_total=jnp.sum(new_alive),
+        points_clone=jnp.sum(clone),
+        points_split=jnp.sum(split),
+        points_pruned=jnp.sum(prune & ~split),
+        points_dropped=jnp.sum(valid_a & ~ok_a) + jnp.sum(valid_b & ~ok_b),
+    )
+    return new_params, new_adam, new_aux, diag
+
+
+def reset_opacity(
+    params: GaussianParams, adam: AdamState
+) -> Tuple[GaussianParams, AdamState]:
+    """Clamp opacity to <= 0.01 and zero its Adam moments (step count
+    kept), matching reset_opacity + reset_optimizer
+    (ref: gaussian_model.py:410-414, 346-363)."""
+    opacity = jax.nn.sigmoid(params.opacity_logit)
+    new_op = jnp.minimum(opacity, 0.01)
+    new_logit = jnp.log(new_op / (1.0 - new_op))
+    new_params = dataclasses.replace(params, opacity_logit=new_logit)
+    new_adam = AdamState(
+        mu=dataclasses.replace(adam.mu, opacity_logit=jnp.zeros_like(adam.mu.opacity_logit)),
+        nu=dataclasses.replace(adam.nu, opacity_logit=jnp.zeros_like(adam.nu.opacity_logit)),
+        count=adam.count,
+    )
+    return new_params, new_adam

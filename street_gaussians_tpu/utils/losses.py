@@ -44,12 +44,24 @@ def _gaussian_window(window_size: int, sigma: float) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("window_size",))
-def ssim(pred: jnp.ndarray, gt: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
+def ssim(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    window_size: int = 11,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """SSIM with an 11x11 gaussian window, sigma 1.5, SAME padding —
     the exact recipe of the reference (ref: loss_utils.py:81-126).
+    With a mask, out-of-mask pixels are zero-filled before the window
+    convolutions and the mean still runs over all pixels — exactly the
+    reference's masked path (loss_utils.py:91-98).
 
-    pred/gt: [H, W, C] in [0, 1].
+    pred/gt: [H, W, C] in [0, 1]; mask broadcastable to them.
     """
+    if mask is not None:
+        m = jnp.broadcast_to(mask, pred.shape)
+        pred = jnp.where(m, pred, 0.0)
+        gt = jnp.where(m, gt, 0.0)
     C = pred.shape[-1]
     win1d = _gaussian_window(window_size, 1.5)
     window = jnp.outer(win1d, win1d)  # [k, k]
