@@ -1,0 +1,157 @@
+"""Single-chip benchmark: full-model train iters/sec at Waymo scale.
+
+Workload mirrors configs/example/waymo_train_002.yaml (BASELINE.md): a
+1600x1064 camera (Waymo native capped at 1600 px width), a composite
+scene (background + 4 actors + sky cubemap), full loss stack (L1 +
+DSSIM + sky + trimmed LiDAR depth), gradients for every parameter group,
+masked-Adam update, densification statistics — i.e. one reference hot-
+loop iteration (ref: train.py:64-225).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline divides by a provisional 10 it/s A100 figure for this
+workload (the reference repo publishes no numbers, BASELINE.md; replace
+with a measured A100 run when hardware is available).
+
+Extra diagnostics (render FPS, sizes) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+A100_ITERS_PER_SEC_PROVISIONAL = 10.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from street_gaussians_tpu.config import default_config
+    from street_gaussians_tpu.data.synthetic import make_synthetic_scene
+    from street_gaussians_tpu.models.renderer import (
+        RenderOptions,
+        SceneParams,
+        render_frame,
+    )
+    from street_gaussians_tpu.models.sky_cubemap import init_sky
+    from street_gaussians_tpu import train_lib
+    from street_gaussians_tpu.train_lib import GroundTruth
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu" or jax.devices()[0].platform not in ("cpu",)
+    H, W = (1064, 1600) if on_tpu else (64, 96)
+    num_bkgd = 220_000 if on_tpu else 400
+    tile_capacity = 1024 if on_tpu else 128
+    instance_capacity = 2 ** 21 if on_tpu else 2 ** 13
+    iters = 20 if on_tpu else 2
+    warmup = 3 if on_tpu else 1
+
+    print(f"[bench] backend={backend} H={H} W={W} bkgd={num_bkgd}", file=sys.stderr)
+
+    scene = make_synthetic_scene(
+        num_bkgd=num_bkgd,
+        num_actors=4,
+        H=H,
+        W=W,
+        background_growth=3.0,
+        actor_growth=3.0,
+    )
+    params = SceneParams(
+        gaussians=scene.params_init,
+        actor_pose=scene.pose_params_init,
+        sky=init_sky(1024 if on_tpu else 64, white_background=False),
+        color_correction=None,
+        pose_correction=None,
+    )
+    print(f"[bench] capacity={scene.table.capacity}", file=sys.stderr)
+
+    cfg = default_config()
+    cfg.optim.lambda_sky = 0.05
+    cfg.optim.lambda_depth_lidar = 0.1
+    cfg.optim.lambda_reg = 0.0
+
+    opts = RenderOptions(
+        mode="train",
+        tile_capacity=tile_capacity,
+        instance_capacity=instance_capacity,
+        interpret=not on_tpu,
+    )
+    state = train_lib.init_train_state(params, scene.aux)
+    step_fn = train_lib.make_train_step(cfg, scene.table, scene.pose_data, opts)
+
+    # ground truth: one rendered target per camera
+    eval_opts = RenderOptions(
+        mode="eval",
+        tile_capacity=tile_capacity,
+        instance_capacity=instance_capacity,
+        interpret=not on_tpu,
+    )
+    frame = scene.frames[2]
+    gt_img = render_frame(
+        params, scene.aux, scene.table, scene.pose_data, frame,
+        step=jnp.asarray(0), opts=eval_opts,
+    )["rgb"]
+    gt_img = jax.block_until_ready(gt_img)
+    gt = GroundTruth(
+        image=gt_img,
+        mask=jnp.ones((H, W, 1), bool),
+        sky_mask=jnp.zeros((H, W, 1), bool),
+        lidar_depth=jnp.ones((H, W)) * 10.0,
+        obj_bound=jnp.zeros((H, W, 1), bool),
+        sky_scale=jnp.ones(()),
+    )
+
+    key = jax.random.PRNGKey(0)
+    # warmup (compile)
+    t0 = time.time()
+    for i in range(warmup):
+        key, sub = jax.random.split(key)
+        state, scalars = step_fn(state, frame, gt, sub)
+    jax.block_until_ready(state.params.gaussians.xyz)
+    print(f"[bench] warmup+compile {time.time()-t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    for i in range(iters):
+        key, sub = jax.random.split(key)
+        state, scalars = step_fn(state, frame, gt, sub)
+    jax.block_until_ready(state.params.gaussians.xyz)
+    dt = time.time() - t0
+    iters_per_sec = iters / dt
+    print(
+        f"[bench] {iters} train iters in {dt:.2f}s -> {iters_per_sec:.2f} it/s",
+        file=sys.stderr,
+    )
+
+    # render-only FPS (diagnostic)
+    @jax.jit
+    def render_only(params, aux, f):
+        return render_frame(
+            params, aux, scene.table, scene.pose_data, f,
+            step=jnp.asarray(10 ** 9), opts=eval_opts,
+        )["rgb"]
+
+    r = jax.block_until_ready(render_only(state.params, state.aux, frame))
+    t0 = time.time()
+    n_render = iters
+    for i in range(n_render):
+        r = render_only(state.params, state.aux, scene.frames[i % len(scene.frames)])
+    jax.block_until_ready(r)
+    fps = n_render / (time.time() - t0)
+    print(f"[bench] render FPS {fps:.1f}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_iters_per_sec_full_model_1600px",
+                "value": round(iters_per_sec, 3),
+                "unit": "iters/s",
+                "vs_baseline": round(iters_per_sec / A100_ITERS_PER_SEC_PROVISIONAL, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -246,8 +246,7 @@ def load_waymo_scene(cfg: Config) -> Scene:
     depth_dir = os.path.join(path, "lidar_depth")
     for i in range(len(out.exts)):
         cam_sensor = out.cams[i]
-        orig_h = waymo.IMAGE_HEIGHTS[cam_sensor]
-        orig_w = waymo.IMAGE_WIDTHS[cam_sensor]
+        orig_h, orig_w = out.sensor_sizes[cam_sensor]
         W, H, scale = _resize_shape(orig_w, orig_h)
         K = out.ixts[i].copy()
         K[:2] *= scale

@@ -43,8 +43,24 @@ from street_gaussians_tpu.utils.pointcloud import (
 
 WAYMO_TRACK2LABEL = {"vehicle": 0, "pedestrian": 1, "cyclist": 2, "sign": 3, "misc": -1}
 LABEL2CAMERA = {0: "FRONT", 1: "FRONT_LEFT", 2: "FRONT_RIGHT", 3: "SIDE_LEFT", 4: "SIDE_RIGHT"}
+# Waymo native sensor resolutions (ref: waymo_utils.py:35-36). Used only
+# as a fallback — sensor_image_sizes() reads the actual size off the
+# first image of each sensor, so non-Waymo-resolution sequences load too.
 IMAGE_HEIGHTS = [1280, 1280, 1280, 886, 886]
 IMAGE_WIDTHS = [1920, 1920, 1920, 1920, 1920]
+
+
+def sensor_image_sizes(image_filenames, cams) -> Dict[int, tuple]:
+    """{sensor: (H, W)} from the first on-disk image per sensor."""
+    sizes: Dict[int, tuple] = {}
+    for fn, cam in zip(image_filenames, cams):
+        if cam not in sizes:
+            img = cv2.imread(fn)
+            if img is not None:
+                sizes[cam] = img.shape[:2]
+    for cam in set(cams) - set(sizes):
+        sizes[cam] = (IMAGE_HEIGHTS[cam], IMAGE_WIDTHS[cam])
+    return sizes
 
 
 def image_filename_to_cam(x: str) -> int:
@@ -276,6 +292,7 @@ class WaymoParserOutput:
     cams_timestamps: np.ndarray
     tracklet_timestamps: np.ndarray
     obj_bounds: List[np.ndarray]
+    sensor_sizes: Dict[int, tuple]
     points_xyz_dict: Dict[str, np.ndarray]
     points_rgb_dict: Dict[str, np.ndarray]
     sphere_center: Optional[np.ndarray]
@@ -350,10 +367,11 @@ def generate_dataparser_outputs(
     )
 
     # projected-box obj_bound masks (waymo_utils.py:407-437)
+    sizes = sensor_image_sizes(image_filenames, cams)
     obj_bounds = []
     for i in range(len(image_filenames)):
         cam = cams[i]
-        h, w = IMAGE_HEIGHTS[cam], IMAGE_WIDTHS[cam]
+        h, w = sizes[cam]
         bound = np.zeros((h, w), np.uint8)
         for tr in tracklets_vehicle[frames_idx[i]]:
             tid = int(tr[0])
@@ -414,6 +432,7 @@ def generate_dataparser_outputs(
         cams_timestamps=cams_timestamps,
         tracklet_timestamps=frames_timestamps,
         obj_bounds=obj_bounds,
+        sensor_sizes=sizes,
         points_xyz_dict=points_xyz_dict,
         points_rgb_dict=points_rgb_dict,
         sphere_center=sphere_center,

@@ -80,8 +80,12 @@ def _compute_cov2d(
     with the 0.3 px low-pass added.
     """
     R = w2c[:3, :3]
-    t = mean3d @ R.T + w2c[:3, 3]
-    tz = t[:, 2]
+    t = jnp.matmul(mean3d, R.T, precision="highest") + w2c[:3, 3]
+    # Culled points (z <= NEAR_Z) never reach this code in the CUDA
+    # kernel (early frustum exit, forward.cu:169-171); here everything
+    # is vectorized, so their denominators must be sanitized or the
+    # inf/NaN they produce poisons gradients via inf * 0 in the VJP.
+    tz = jnp.where(t[:, 2] > NEAR_Z, t[:, 2], 1.0)
 
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
@@ -106,7 +110,7 @@ def _compute_cov2d(
         ],
         axis=-2,
     )
-    M = jnp.einsum("nij,jk->nik", J, R)
+    M = jnp.einsum("nij,jk->nik", J, R, precision="highest")
 
     # Sigma (full 3x3) from packed
     xx, xy, xz, yy, yz, zz = (cov3d[:, i] for i in range(6))
@@ -118,7 +122,7 @@ def _compute_cov2d(
         ],
         axis=-2,
     )
-    cov2d = jnp.einsum("nij,njk,nlk->nil", M, Sigma, M)
+    cov2d = jnp.einsum("nij,njk,nlk->nil", M, Sigma, M, precision="highest")
     return jnp.stack(
         [
             cov2d[:, 0, 0] + LOWPASS,
@@ -164,14 +168,17 @@ def preprocess_gaussians(
     grid_y = (H + TILE - 1) // TILE
 
     # --- frustum cull (view z) ---
-    t = means3d @ cam_w2c[:3, :3].T + cam_w2c[:3, 3]
+    t = jnp.matmul(means3d, cam_w2c[:3, :3].T, precision="highest") + cam_w2c[:3, 3]
     depth = t[:, 2]
     in_front = depth > NEAR_Z
 
-    # --- projection ---
-    hom = means3d @ cam_full_proj[:3, :3].T + cam_full_proj[:3, 3]
-    w_clip = means3d @ cam_full_proj[3, :3] + cam_full_proj[3, 3]
-    inv_w = 1.0 / (w_clip + 1e-7)
+    # --- projection (w sanitized for culled points: the CUDA kernel
+    # early-exits before the divide, forward.cu:169-171; the +1e-7 alone
+    # matches it for visible points, forward.cu:199) ---
+    hom = jnp.matmul(means3d, cam_full_proj[:3, :3].T, precision="highest") + cam_full_proj[:3, 3]
+    w_clip = jnp.matmul(means3d, cam_full_proj[3, :3], precision="highest") + cam_full_proj[3, 3]
+    w_den = w_clip + 1e-7
+    inv_w = 1.0 / jnp.where(in_front, w_den, 1.0)
     ndc = hom * inv_w[:, None]
     mean2d = jnp.stack(
         [
@@ -248,7 +255,7 @@ def preprocess_gaussians(
         dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
         basis = sh_utils.sh_basis(sh_degree, dirs)  # [N, K']
         k = basis.shape[-1]
-        rgb = jnp.einsum("nk,nkc->nc", basis, shs[:, :k, :]) + 0.5
+        rgb = jnp.einsum("nk,nkc->nc", basis, shs[:, :k, :], precision="highest") + 0.5
         rgb = jnp.maximum(rgb, 0.0)
     else:
         rgb = colors_precomp

@@ -1,0 +1,373 @@
+"""Training / rendering / evaluation orchestration (host-side loop).
+
+The analog of the reference entry points (ref: train.py:24-320 training,
+render.py:15-96 render_sets, metrics.py:26-104 evaluate): everything
+device-side is a handful of jitted functions built once; the Python loop
+only feeds cameras, triggers densify/reset at their intervals, and logs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import random
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from street_gaussians_tpu import checkpoint as ckpt_lib
+from street_gaussians_tpu import train_lib
+from street_gaussians_tpu.config import Config, save_config
+from street_gaussians_tpu.data.dataset import (
+    CameraView,
+    Scene,
+    load_ground_truth,
+    load_waymo_scene,
+)
+from street_gaussians_tpu.models.corrections import (
+    init_color_correction,
+    init_pose_correction,
+)
+from street_gaussians_tpu.models.renderer import (
+    RenderOptions,
+    SceneParams,
+    render_background_mask,
+    render_frame,
+    render_object_mask,
+)
+from street_gaussians_tpu.models.sky_cubemap import init_sky
+from street_gaussians_tpu.utils import losses as L
+
+
+def build_scene(cfg: Config) -> Scene:
+    """Dataset dispatch (ref: lib/datasets/dataset.py:11-15)."""
+    dtype = cfg.data.type
+    if dtype == "Waymo":
+        return load_waymo_scene(cfg)
+    if dtype == "SyntheticToy":
+        # in-memory toy scene (tests / benchmarks)
+        from street_gaussians_tpu.data.synthetic import make_synthetic_scene
+
+        syn = make_synthetic_scene(**cfg.data.get("synthetic_kwargs", {}))
+        views = [
+            CameraView(
+                frame_input=f,
+                image_path="",
+                H=f.cam.H,
+                W=f.cam.W,
+                cam=0,
+                frame=i,
+                frame_idx=i,
+                timestamp=float(syn.timestamps[i]),
+                is_val=False,
+                image_name=f"{i:06d}_0",
+            )
+            for i, f in enumerate(syn.frames)
+        ]
+        return Scene(
+            table=syn.table,
+            params_init=syn.params_init,
+            aux_init=syn.aux,
+            pose_data=syn.pose_data,
+            pose_params_init=syn.pose_params_init,
+            train_views=views,
+            test_views=[],
+            metadata=dict(num_images=len(views), num_cams=1, num_frames=len(views)),
+        )
+    raise NotImplementedError(f"dataset type {dtype}")
+
+
+def build_initial_params(cfg: Config, scene: Scene) -> SceneParams:
+    nsg = cfg.model.nsg
+    sky = None
+    if nsg.get("include_sky", False):
+        sky = init_sky(
+            cfg.model.sky.resolution, cfg.model.sky.get("white_background", True)
+        )
+    cc = None
+    if cfg.model.get("use_color_correction", False):
+        num = (
+            scene.metadata["num_images"]
+            if cfg.model.color_correction.mode == "image"
+            else scene.metadata["num_cams"]
+        )
+        cc = init_color_correction(num)
+    pc = None
+    if cfg.model.get("use_pose_correction", False):
+        num = (
+            scene.metadata["num_images"]
+            if cfg.model.pose_correction.mode == "image"
+            else scene.metadata["num_frames"]
+        )
+        pc = init_pose_correction(num)
+    actor_pose = (
+        scene.pose_params_init if nsg.get("opt_track", True) else None
+    )
+    return SceneParams(
+        gaussians=scene.params_init,
+        actor_pose=actor_pose,
+        sky=sky,
+        color_correction=cc,
+        pose_correction=pc,
+    )
+
+
+def render_opts_from_cfg(cfg: Config, mode: str) -> RenderOptions:
+    # the Pallas kernel needs interpreter mode off-TPU (CPU tests/smoke)
+    interpret = bool(cfg.render.get("interpret", False))
+    if jax.default_backend() == "cpu":
+        interpret = True
+    return RenderOptions(
+        mode=mode,
+        use_semantic=cfg.data.get("use_semantic", False),
+        semantic_mode=cfg.model.gaussian.get("semantic_mode", "logits"),
+        white_background=cfg.data.get("white_background", False),
+        scaling_modifier=cfg.render.get("scaling_modifier", 1.0),
+        tile_capacity=cfg.render.get("tile_capacity", 1024),
+        instance_capacity=cfg.render.get("instance_capacity", 2 ** 21),
+        interpret=interpret,
+    )
+
+
+class GTCache:
+    """Host-side ground-truth cache (uint8/bool/f16) with on-demand
+    device conversion — the analog of the reference's per-camera CPU
+    tensors moved to GPU in the loop (train.py:79-91)."""
+
+    def __init__(self, white_background: bool = False, max_items: int = 1024):
+        self.cache: Dict[int, train_lib.GroundTruth] = {}
+        self.white_background = white_background
+        self.max_items = max_items
+
+    def get(self, view: CameraView) -> train_lib.GroundTruth:
+        key = id(view)
+        if key not in self.cache:
+            if len(self.cache) >= self.max_items:
+                self.cache.pop(next(iter(self.cache)))
+            self.cache[key] = load_ground_truth(view, self.white_background)
+        return self.cache[key]
+
+
+def make_eval_render(cfg: Config, scene: Scene, include_mask=None):
+    opts = render_opts_from_cfg(cfg, "eval")
+
+    @jax.jit
+    def eval_render(params, aux, frame_inp):
+        return render_frame(
+            params,
+            aux,
+            scene.table,
+            scene.pose_data,
+            frame_inp,
+            step=jnp.asarray(10 ** 9),
+            include_mask=include_mask,
+            opts=opts,
+        )
+
+    return eval_render
+
+
+def training(cfg: Config, progress: bool = True) -> Dict:
+    """Full training run (ref: train.py:24-225). Returns final metrics."""
+    os.makedirs(cfg.model_path, exist_ok=True)
+    save_config(cfg, os.path.join(cfg.model_path, "configs", "config_train.yaml"))
+    scene = build_scene(cfg)
+    params = build_initial_params(cfg, scene)
+    state = train_lib.init_train_state(params, scene.aux_init)
+
+    opts = render_opts_from_cfg(cfg, "train")
+    step_fn = train_lib.make_train_step(cfg, scene.table, scene.pose_data, opts)
+    densify_fn = train_lib.make_densify_fn(cfg, scene.table)
+    reset_fn = train_lib.make_reset_opacity_fn()
+    eval_render = make_eval_render(cfg, scene)
+
+    start_iter = 0
+    if cfg.resume:
+        restored, it = ckpt_lib.load_train_state(cfg.trained_model_dir, state)
+        if restored is not None:
+            state, start_iter = restored, it
+            print(f"[resume] restored iteration {it}")
+
+    o = cfg.optim
+    iters = cfg.train.iterations
+    gt_cache = GTCache(cfg.data.get("white_background", False))
+    rng = random.Random(cfg.get("seed", 0))
+    key = jax.random.PRNGKey(cfg.get("seed", 0))
+
+    view_stack: List[CameraView] = []
+    log_path = os.path.join(cfg.record_dir, "train_log.jsonl")
+    os.makedirs(cfg.record_dir, exist_ok=True)
+    log_f = open(log_path, "a")
+
+    ema_loss, ema_psnr = 0.0, 0.0
+    t_start = time.time()
+    scalars = {}
+    for iteration in range(start_iter + 1, iters + 1):
+        if not view_stack:
+            view_stack = list(scene.train_views)
+            rng.shuffle(view_stack)
+        view = view_stack.pop()
+        gt = gt_cache.get(view)
+
+        key, sub = jax.random.split(key)
+        state, scalars = step_fn(state, view.frame_input, gt, sub)
+
+        # densification & opacity reset cadence (train.py:186-210)
+        if iteration < o.densify_until_iter:
+            if (
+                iteration > o.densify_from_iter
+                and iteration % o.densification_interval == 0
+            ):
+                key, sub = jax.random.split(key)
+                prune_big = jnp.asarray(iteration > o.opacity_reset_interval)
+                state, ddiag = densify_fn(state, sub, prune_big)
+            if iteration % o.opacity_reset_interval == 0:
+                state = reset_fn(state)
+            if (
+                cfg.data.get("white_background", False)
+                and iteration == o.densify_from_iter
+            ):
+                state = reset_fn(state)
+
+        if iteration % 10 == 0:
+            loss = float(scalars["loss"])
+            psnr_v = float(scalars["psnr"])
+            ema_loss = 0.4 * loss + 0.6 * ema_loss if ema_loss else loss
+            ema_psnr = 0.4 * psnr_v + 0.6 * ema_psnr if ema_psnr else psnr_v
+        if progress and iteration % 100 == 0:
+            dt = time.time() - t_start
+            print(
+                f"iter {iteration}/{iters} loss {ema_loss:.5f} psnr {ema_psnr:.2f} "
+                f"alive {int(scalars['num_alive'])} {iteration / max(dt, 1e-9):.2f} it/s",
+                flush=True,
+            )
+        if iteration % 10 == 0:
+            rec = {k: float(v) for k, v in scalars.items()}
+            rec["iteration"] = iteration
+            log_f.write(json.dumps(rec) + "\n")
+            log_f.flush()
+
+        if iteration in cfg.train.test_iterations:
+            report = evaluate_psnr(cfg, scene, state, eval_render)
+            print(f"[eval @{iteration}] {report}", flush=True)
+            log_f.write(json.dumps({"iteration": iteration, **report}) + "\n")
+            log_f.flush()
+
+        if iteration in cfg.train.save_iterations:
+            ckpt_lib.save_point_cloud(
+                cfg.point_cloud_dir, iteration, state.params.gaussians, state.aux, scene.table
+            )
+        if iteration in cfg.train.checkpoint_iterations:
+            ckpt_lib.save_train_state(cfg.trained_model_dir, iteration, state)
+
+    log_f.close()
+    final = {"ema_psnr": ema_psnr, "ema_loss": ema_loss}
+    if scalars:
+        final["num_alive"] = int(scalars["num_alive"])
+    return final
+
+
+def evaluate_psnr(cfg: Config, scene: Scene, state, eval_render, max_views: int = 8):
+    """In-training eval on held-out + a few train views
+    (ref: train.py:262-308 training_report)."""
+    out = {}
+    gt_cache = GTCache(cfg.data.get("white_background", False))
+    for split, views in (("test", scene.test_views), ("train", scene.train_views[:5])):
+        if not views:
+            continue
+        psnrs, l1s = [], []
+        for view in views[:max_views]:
+            gt = gt_cache.get(view)
+            r = eval_render(state.params, state.aux, view.frame_input)
+            psnrs.append(float(L.psnr(r["rgb"], gt.image, gt.mask)))
+            l1s.append(float(L.l1_loss(r["rgb"], gt.image, gt.mask)))
+        out[f"{split}_psnr"] = sum(psnrs) / len(psnrs)
+        out[f"{split}_l1"] = sum(l1s) / len(l1s)
+    return out
+
+
+def render_sets(cfg: Config, state=None, scene=None) -> Dict:
+    """Offline rendering of train/test splits with FPS measurement
+    (ref: render.py:15-60)."""
+    import cv2
+
+    scene = scene or build_scene(cfg)
+    if state is None:
+        params = build_initial_params(cfg, scene)
+        state = train_lib.init_train_state(params, scene.aux_init)
+        restored, it = ckpt_lib.load_train_state(cfg.trained_model_dir, state)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint under {cfg.trained_model_dir}")
+        state = restored
+        print(f"[render] loaded iteration {it}")
+
+    eval_render = make_eval_render(cfg, scene)
+    times = []
+    out = {}
+    for split, views, skip in (
+        ("test", scene.test_views, cfg.eval.skip_test),
+        ("train", scene.train_views, cfg.eval.skip_train),
+    ):
+        if skip or not views:
+            continue
+        split_dir = os.path.join(cfg.model_path, f"{split}_renders")
+        os.makedirs(split_dir, exist_ok=True)
+        for i, view in enumerate(views):
+            t0 = time.time()
+            r = eval_render(state.params, state.aux, view.frame_input)
+            jax.block_until_ready(r["rgb"])
+            if i > 0:  # exclude first (compile) frame like render.py:32-38
+                times.append(time.time() - t0)
+            if cfg.render.get("save_image", True):
+                img = np.clip(np.asarray(r["rgb"]) * 255, 0, 255).astype(np.uint8)
+                cv2.imwrite(
+                    os.path.join(split_dir, f"{view.image_name}_rgb.png"),
+                    img[..., ::-1],
+                )
+    if times:
+        mean_ms = 1000.0 * sum(times) / len(times)
+        print(f"average rendering time: {mean_ms:.2f} ms ({1000.0/mean_ms:.2f} FPS)")
+        out["render_ms"] = mean_ms
+        out["fps"] = 1000.0 / mean_ms
+    return out
+
+
+def evaluate_metrics(cfg: Config) -> Dict:
+    """Offline PSNR/SSIM (+LPIPS when torchvision weights are available)
+    over saved renders vs GT (ref: metrics.py:26-104)."""
+    scene = build_scene(cfg)
+    gt_cache = GTCache(cfg.data.get("white_background", False))
+    results = {}
+    for split, views in (("test", scene.test_views), ("train", scene.train_views)):
+        split_dir = os.path.join(cfg.model_path, f"{split}_renders")
+        if not os.path.isdir(split_dir) or not views:
+            continue
+        import cv2
+
+        per_view = []
+        for view in views:
+            p = os.path.join(split_dir, f"{view.image_name}_rgb.png")
+            if not os.path.exists(p):
+                continue
+            pred = cv2.imread(p)[..., ::-1].astype(np.float32) / 255.0
+            gt = np.asarray(gt_cache.get(view).image)
+            psnr_v = float(L.psnr(jnp.asarray(pred), jnp.asarray(gt)))
+            ssim_v = float(L.ssim(jnp.asarray(pred), jnp.asarray(gt)))
+            per_view.append(
+                {"name": view.image_name, "psnr": psnr_v, "ssim": ssim_v}
+            )
+        if per_view:
+            results[split] = {
+                "psnr": sum(v["psnr"] for v in per_view) / len(per_view),
+                "ssim": sum(v["ssim"] for v in per_view) / len(per_view),
+                "per_view": per_view,
+            }
+            with open(
+                os.path.join(cfg.model_path, f"results_{split}.json"), "w"
+            ) as f:
+                json.dump(results[split], f, indent=2)
+    return results

@@ -1,0 +1,105 @@
+"""End-to-end training on the synthetic Waymo-format sequence: the full
+`training()` entry point with sky loss, lidar depth, densification and
+checkpointing, verifying PSNR improves and artifacts land on disk
+(BASELINE.md config 2-4 analog at toy scale)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from street_gaussians_tpu.config import load_config
+from street_gaussians_tpu.data import waymo
+from street_gaussians_tpu.data.synthetic_waymo import write_synthetic_waymo
+
+
+@pytest.fixture(autouse=True)
+def small_sensors(monkeypatch):
+    monkeypatch.setattr(waymo, "IMAGE_HEIGHTS", [64] * 5)
+    monkeypatch.setattr(waymo, "IMAGE_WIDTHS", [96] * 5)
+
+
+def test_training_end_to_end(tmp_path):
+    root = str(tmp_path / "seq")
+    write_synthetic_waymo(root, num_frames=4, cameras=(0,))
+
+    cfg = load_config()
+    cfg.source_path = root
+    cfg.model_path = str(tmp_path / "out")
+    cfg.trained_model_dir = os.path.join(cfg.model_path, "trained_model")
+    cfg.point_cloud_dir = os.path.join(cfg.model_path, "point_cloud")
+    cfg.record_dir = os.path.join(cfg.model_path, "record")
+    cfg.mode = "train"
+    cfg.data.type = "Waymo"
+    cfg.data.split_train = 1
+    cfg.data.split_test = -1
+    cfg.data.cameras = [0]
+    cfg.model.nsg.include_sky = True
+    cfg.model.sky.resolution = 32
+    cfg.optim.lambda_sky = 0.05
+    cfg.optim.lambda_depth_lidar = 0.01
+    cfg.optim.densify_from_iter = 10
+    cfg.optim.densification_interval = 20
+    cfg.optim.densify_until_iter = 45
+    cfg.optim.opacity_reset_interval = 10 ** 6
+    cfg.train.iterations = 50
+    cfg.train.test_iterations = [50]
+    cfg.train.save_iterations = [50]
+    cfg.train.checkpoint_iterations = [50]
+    cfg.render.tile_capacity = 256
+    cfg.render.instance_capacity = 2 ** 15
+
+    from street_gaussians_tpu.runner import training
+
+    final = training(cfg, progress=False)
+
+    # loss log exists and shows improvement
+    log_path = os.path.join(cfg.record_dir, "train_log.jsonl")
+    records = [json.loads(l) for l in open(log_path)]
+    losses = [r["loss"] for r in records if "loss" in r]
+    assert losses[-1] < losses[0]
+
+    # artifacts: composite ply + orbax checkpoint
+    assert os.path.exists(
+        os.path.join(cfg.point_cloud_dir, "iteration_50", "point_cloud.ply")
+    )
+    assert os.path.isdir(os.path.join(cfg.trained_model_dir, "iteration_50"))
+
+    # eval record with train psnr
+    evals = [r for r in records if "train_psnr" in r]
+    assert evals and np.isfinite(evals[-1]["train_psnr"])
+
+
+def test_render_sets_from_checkpoint(tmp_path):
+    root = str(tmp_path / "seq")
+    write_synthetic_waymo(root, num_frames=3, cameras=(0,))
+    cfg = load_config()
+    cfg.source_path = root
+    cfg.model_path = str(tmp_path / "out")
+    cfg.trained_model_dir = os.path.join(cfg.model_path, "trained_model")
+    cfg.point_cloud_dir = os.path.join(cfg.model_path, "point_cloud")
+    cfg.record_dir = os.path.join(cfg.model_path, "record")
+    cfg.data.type = "Waymo"
+    cfg.data.split_train = 1
+    cfg.data.cameras = [0]
+    cfg.optim.densify_until_iter = 0
+    cfg.train.iterations = 3
+    cfg.train.test_iterations = []
+    cfg.train.save_iterations = [3]
+    cfg.train.checkpoint_iterations = [3]
+    cfg.render.tile_capacity = 128
+    cfg.render.instance_capacity = 2 ** 14
+
+    from street_gaussians_tpu.runner import render_sets, training, evaluate_metrics
+
+    training(cfg, progress=False)
+    cfg.mode = "evaluate"
+    out = render_sets(cfg)
+    assert out.get("fps", 0) > 0
+    # renders exist for the train split
+    files = os.listdir(os.path.join(cfg.model_path, "train_renders"))
+    assert len(files) == 3
+
+    results = evaluate_metrics(cfg)
+    assert "train" in results and np.isfinite(results["train"]["psnr"])

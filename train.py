@@ -1,0 +1,13 @@
+"""CLI: train a scene (ref analog: train.py at the reference root).
+
+Usage: python train.py --config configs/example/waymo_train_002.yaml [KEY VALUE ...]
+"""
+
+from street_gaussians_tpu.config import config_from_args, make_argparser
+from street_gaussians_tpu.runner import training
+
+if __name__ == "__main__":
+    args = make_argparser("street_gaussians_tpu trainer").parse_args()
+    cfg = config_from_args(args)
+    cfg.mode = "train"
+    training(cfg)
