@@ -336,6 +336,58 @@ def render_sets(cfg: Config, state=None, scene=None) -> Dict:
     return out
 
 
+def render_trajectory(cfg: Config, state=None, scene=None) -> Dict:
+    """Render all cameras in frame order with composite / background /
+    object / depth / diff channels and write per-channel videos
+    (ref: render.py:62-85 render_trajectory + render_all,
+    street_gaussian_visualizer.py:12-181)."""
+    import jax.numpy as jnp
+
+    from street_gaussians_tpu.models.renderer import (
+        render_background_mask,
+        render_object_mask,
+    )
+    from street_gaussians_tpu.visualize import Visualizer, visualize_depth
+
+    scene = scene or build_scene(cfg)
+    if state is None:
+        params = build_initial_params(cfg, scene)
+        state = train_lib.init_train_state(params, scene.aux_init)
+        restored, it = ckpt_lib.load_train_state(cfg.trained_model_dir, state)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint under {cfg.trained_model_dir}")
+        state = restored
+
+    eval_full = make_eval_render(cfg, scene)
+    eval_obj = make_eval_render(cfg, scene, render_object_mask(scene.table))
+    eval_bkgd = make_eval_render(cfg, scene, render_background_mask(scene.table))
+
+    views = sorted(scene.all_views, key=lambda v: (v.frame_idx, v.cam))
+    concat = list(cfg.render.get("concat_cameras", []))
+    if concat:
+        views = [v for v in views if v.cam in concat]
+
+    out_dir = os.path.join(cfg.model_path, "trajectory")
+    vis = Visualizer(
+        out_dir,
+        save_image=cfg.render.get("save_image", True),
+        save_video=cfg.render.get("save_video", True),
+        fps=cfg.render.get("fps", 24),
+    )
+    for view in views:
+        full = eval_full(state.params, state.aux, view.frame_input)
+        obj = eval_obj(state.params, state.aux, view.frame_input)
+        bkgd = eval_bkgd(state.params, state.aux, view.frame_input)
+        vis.add("rgb", view.image_name, np.asarray(full["rgb"]))
+        vis.add("object", view.image_name, np.asarray(obj["rgb"]))
+        vis.add("background", view.image_name, np.asarray(bkgd["rgb"]))
+        d, _ = visualize_depth(np.asarray(full["depth"]))
+        vis.add("depth", view.image_name, d)
+        vis.add("acc", view.image_name, np.asarray(full["acc"])[..., None].repeat(3, -1))
+    vis.summarize()
+    return {"num_frames": len(views), "out_dir": out_dir}
+
+
 def evaluate_metrics(cfg: Config) -> Dict:
     """Offline PSNR/SSIM (+LPIPS when torchvision weights are available)
     over saved renders vs GT (ref: metrics.py:26-104)."""

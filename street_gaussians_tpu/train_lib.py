@@ -254,7 +254,12 @@ def compute_losses(
 
     if o.lambda_depth_lidar > 0:
         depth_mask = (gt.lidar_depth > 0.0) & mask[..., 0]
-        expected = out["depth"] / (out["acc"] + 1e-10)
+        # the reference divides by acc + 1e-10 (train.py:127); on pixels a
+        # Gaussian barely grazes (acc ~ 1e-6) that gradient explodes to
+        # inf on TPU f32 — clamp the denominator instead: identical for
+        # any normally-covered pixel, bounded gradients otherwise (such
+        # pixels' huge errors are trimmed by the top-95% cut anyway)
+        expected = out["depth"] / jnp.maximum(out["acc"], 1e-2)
         lidar_loss = trimmed_l1_depth(expected, gt.lidar_depth, depth_mask)
         scalars["lidar_depth_loss"] = lidar_loss
         loss = loss + o.lambda_depth_lidar * lidar_loss
