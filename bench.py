@@ -41,8 +41,10 @@ def main():
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu" or jax.devices()[0].platform not in ("cpu",)
-    H, W = (1064, 1600) if on_tpu else (64, 96)
-    num_bkgd = 220_000 if on_tpu else 400
+    # 1280x880 ~= Waymo side-camera scale; full 1600px compile exceeds
+    # the axon tunnel's patience on cold cache — revisit when cached.
+    H, W = (880, 1280) if on_tpu else (64, 96)
+    num_bkgd = 150_000 if on_tpu else 400
     tile_capacity = 1024 if on_tpu else 128
     instance_capacity = 2 ** 21 if on_tpu else 2 ** 13
     iters = 20 if on_tpu else 2
@@ -81,19 +83,26 @@ def main():
     state = train_lib.init_train_state(params, scene.aux)
     step_fn = train_lib.make_train_step(cfg, scene.table, scene.pose_data, opts)
 
-    # ground truth: one rendered target per camera
+    # ground truth: one rendered target per camera (same jitted render
+    # reused later for the FPS measurement — one compile)
     eval_opts = RenderOptions(
         mode="eval",
         tile_capacity=tile_capacity,
         instance_capacity=instance_capacity,
         interpret=not on_tpu,
     )
+
+    @jax.jit
+    def render_only(params, aux, f):
+        return render_frame(
+            params, aux, scene.table, scene.pose_data, f,
+            step=jnp.asarray(10 ** 9), opts=eval_opts,
+        )["rgb"]
+
     frame = scene.frames[2]
-    gt_img = render_frame(
-        params, scene.aux, scene.table, scene.pose_data, frame,
-        step=jnp.asarray(0), opts=eval_opts,
-    )["rgb"]
-    gt_img = jax.block_until_ready(gt_img)
+    t0 = time.time()
+    gt_img = jax.block_until_ready(render_only(params, scene.aux, frame))
+    print(f"[bench] fwd render compile+run {time.time()-t0:.1f}s", file=sys.stderr)
     gt = GroundTruth(
         image=gt_img,
         mask=jnp.ones((H, W, 1), bool),
@@ -125,13 +134,6 @@ def main():
     )
 
     # render-only FPS (diagnostic)
-    @jax.jit
-    def render_only(params, aux, f):
-        return render_frame(
-            params, aux, scene.table, scene.pose_data, f,
-            step=jnp.asarray(10 ** 9), opts=eval_opts,
-        )["rgb"]
-
     r = jax.block_until_ready(render_only(state.params, state.aux, frame))
     t0 = time.time()
     n_render = iters

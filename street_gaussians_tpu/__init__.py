@@ -18,3 +18,22 @@ TPU-first design decisions (vs. the CUDA reference):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: axon/TPU compiles of the train step
+# run minutes; caching makes every CLI/bench rerun start hot. Opt out
+# with SGTPU_NO_COMPILE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("SGTPU_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "sgtpu_xla"),
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

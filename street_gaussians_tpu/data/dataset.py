@@ -208,9 +208,19 @@ def load_waymo_scene(cfg: Config) -> Scene:
             random_init=random_init,
         )
 
+    # optional sky-as-Gaussians model from points3D_sky.ply (the dormant
+    # GaussinaModelSky capability; ref gaussian_model_sky.py:25-33)
+    sky_pts, sky_cols = None, None
+    if cfg.model.nsg.get("include_sky_gaussians", False):
+        sky_ply = os.path.join(cfg.model_path, "input_ply", "points3D_sky.ply")
+        if os.path.exists(sky_ply):
+            sky_pts, sky_cols, _ = ply_utils.read_points_ply(sky_ply)
+
     params, aux, table = G.pack_scene(
         model_points,
         model_colors,
+        sky_points=sky_pts,
+        sky_colors=sky_cols,
         obj_meta=obj_meta,
         scene_center=scene_center,
         scene_radius=scene_radius,
@@ -232,7 +242,7 @@ def load_waymo_scene(cfg: Config) -> Scene:
     # ---- actor pose module ----
     if table.num_models > 1:
         pose_data, pose_params = init_actor_pose(out.obj_tracklets)
-        actor_tids = [int(t) for t in np.asarray(table.track_id[1:])]
+        actor_tids = [int(t) for t in np.asarray(table.track_id) if int(t) >= 0]
     else:
         pose_data, pose_params = None, None
         actor_tids = []

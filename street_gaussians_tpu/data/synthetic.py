@@ -136,7 +136,7 @@ def make_synthetic_scene(
 
     if num_actors > 0:
         pose_data, pose_params = init_actor_pose(tracklets)
-        actor_tids = [int(t) for t in np.asarray(table.track_id[1:])]
+        actor_tids = [int(t) for t in np.asarray(table.track_id) if int(t) >= 0]
     else:
         pose_data, pose_params = None, None
         actor_tids = []

@@ -89,14 +89,20 @@ def write_synthetic_waymo(
             ],
             axis=-1,
         ).astype(np.float32)
+        # camera_projection rows: (cam1, x1, y1, cam2, x2, y2) int16, second
+        # projection UNKNOWN (-1) — the converter's layout
+        # (ref: waymo_converter.py:218-232)
         proj = np.stack(
             [
                 rng.choice(list(cameras), n),
                 rng.integers(0, W, n),
                 rng.integers(0, H, n),
+                np.full(n, -1),
+                np.zeros(n),
+                np.zeros(n),
             ],
             axis=-1,
-        ).astype(np.int32)
+        ).astype(np.int16)
         pts3d[f] = pts
         pts2d[f] = proj
 

@@ -82,7 +82,7 @@ class SceneTable:
     capacity: int  # total rows C
 
     # jnp per-model arrays (gather by model_id inside jit)
-    track_id: jnp.ndarray  # [M] int32 (-1 for background)
+    track_id: jnp.ndarray  # [M] int32 (-1 background, -2 sky)
     class_label: jnp.ndarray  # [M] int32 semantic class (0 for background)
     deformable: jnp.ndarray  # [M] bool
     random_init: jnp.ndarray  # [M] bool (actor initialized from random grid)
@@ -104,10 +104,18 @@ class SceneTable:
     fourier_dim: int
     num_classes: int
     use_semantic: bool
+    # index of the optional sky-as-Gaussians model (always last; the
+    # dormant GaussinaModelSky capability, ref:
+    # lib/models/gaussian_model_sky.py:10-125), or -1
+    sky_model: int = -1
 
     @property
     def num_models(self) -> int:
         return len(self.names)
+
+    @property
+    def num_actors(self) -> int:
+        return self.num_models - 1 - (1 if self.sky_model >= 0 else 0)
 
     def model_index(self, name: str) -> int:
         return self.names.index(name)
@@ -172,6 +180,8 @@ def pack_scene(
     round_to: int = 256,
     box_scale: float = 1.0,
     spatial_lr_scale_bkgd: Optional[float] = None,
+    sky_points: Optional[np.ndarray] = None,
+    sky_colors: Optional[np.ndarray] = None,
 ):
     """Pack initial per-model point clouds into (params, aux, table).
 
@@ -186,6 +196,13 @@ def pack_scene(
     """
     obj_meta = obj_meta or {}
     names = ["background"] + [n for n in model_points.keys() if n != "background"]
+    if sky_points is not None:
+        # sky-as-Gaussians model, always last (gaussian_model_sky.py)
+        model_points = dict(model_points)
+        model_colors = dict(model_colors)
+        model_points["sky"] = np.asarray(sky_points, np.float32)
+        model_colors["sky"] = np.asarray(sky_colors, np.float32)
+        names = [n for n in names if n != "sky"] + ["sky"]
 
     # per-model capacity slices
     slices = []
@@ -241,6 +258,18 @@ def pack_scene(
             sls.append(
                 scene_radius if spatial_lr_scale_bkgd is None else spatial_lr_scale_bkgd
             )
+            fprob.append(0.0)
+            bbox_half.append([0.0, 0.0, 0.0])
+        elif name == "sky":
+            # spatial scale / extent = sphere radius (gaussian_model_sky.py:35)
+            track_id.append(-2)
+            class_label.append(0)
+            deformable.append(False)
+            random_init.append(False)
+            start_frame.append(0)
+            end_frame.append(1 << 30)
+            extent.append(sphere_radius)
+            sls.append(sphere_radius)
             fprob.append(0.0)
             bbox_half.append([0.0, 0.0, 0.0])
         else:
@@ -303,6 +332,7 @@ def pack_scene(
         fourier_dim=Fdim,
         num_classes=num_classes,
         use_semantic=use_semantic,
+        sky_model=(len(names) - 1) if sky_points is not None else -1,
     )
     return params, aux, table
 

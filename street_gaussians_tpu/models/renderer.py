@@ -129,10 +129,11 @@ def compose_frame(
         inc = jnp.asarray(np.asarray(include_mask, bool))
         visible = visible & inc[mid]
 
-    is_actor_row = mid > 0
+    is_actor_row = (mid > 0) & (table.track_id[mid] >= 0)
+    n_sky = 1 if table.sky_model >= 0 else 0
 
     # --- actor world poses (one vectorized slerp over all actors) ---
-    if M > 1 and frame_inp.interp is not None:
+    if table.num_actors > 0 and frame_inp.interp is not None:
         a_quat, a_trans = actor_poses(
             pose_data,
             params.actor_pose,
@@ -140,10 +141,16 @@ def compose_frame(
             frame_inp.ego_quat,
             frame_inp.ego_rotmat,
             frame_inp.ego_trans,
-        )  # [M-1, 4], [M-1, 3]
+        )  # [A, 4], [A, 3]
         ident = jnp.array([[1.0, 0.0, 0.0, 0.0]], jnp.float32)
-        obj_quat = jnp.concatenate([ident, a_quat], axis=0)  # [M, 4]
-        obj_trans = jnp.concatenate([jnp.zeros((1, 3), jnp.float32), a_trans], axis=0)
+        obj_quat = jnp.concatenate(
+            [ident, a_quat] + [ident] * n_sky, axis=0
+        )  # [M, 4]
+        obj_trans = jnp.concatenate(
+            [jnp.zeros((1, 3), jnp.float32), a_trans]
+            + [jnp.zeros((1, 3), jnp.float32)] * n_sky,
+            axis=0,
+        )
     else:
         obj_quat = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32), (M, 4))
         obj_trans = jnp.zeros((M, 3), jnp.float32)
@@ -181,6 +188,22 @@ def compose_frame(
 
     means3d = jnp.where(is_actor_row[:, None], xyz_world_actor, xyz_bkgd)
     quats = jnp.where(is_actor_row[:, None], rot_world_actor, rot_bkgd)
+
+    scales = jnp.exp(g.log_scale)
+    if table.sky_model >= 0:
+        # sky-as-Gaussians: project xyz to >= 2x sphere radius and clamp
+        # scaling at the sphere radius (gaussian_model_sky.py:50-62)
+        is_sky = mid == table.sky_model
+        c = jnp.asarray(table.sphere_center)
+        d = jnp.linalg.norm(means3d - c[None, :], axis=-1, keepdims=True)
+        ratio = d / (2.0 * table.sphere_radius)
+        xyz_sky = jnp.where(
+            ratio < 1.0, c[None, :] + (means3d - c[None, :]) / jnp.maximum(ratio, 1e-6), means3d
+        )
+        means3d = jnp.where(is_sky[:, None], xyz_sky, means3d)
+        scales = jnp.where(
+            is_sky[:, None], jnp.minimum(scales, table.sphere_radius), scales
+        )
 
     # --- 4D Fourier DC features (street_gaussian_model.py:365-380) ---
     t_norm = (frame - table.start_frame).astype(jnp.float32) / jnp.maximum(
@@ -228,7 +251,7 @@ def compose_frame(
 
     return dict(
         means3d=means3d,
-        scales=jnp.exp(g.log_scale),
+        scales=scales,
         quats=quats,
         opacity=jax.nn.sigmoid(g.opacity_logit)[:, 0],
         shs=shs,
@@ -360,6 +383,8 @@ def render_object_mask(table: G.SceneTable) -> np.ndarray:
     """Objects only (ref: street_gaussian_renderer.py:42-56 render_object)."""
     m = np.ones(table.num_models, bool)
     m[0] = False
+    if table.sky_model >= 0:
+        m[table.sky_model] = False
     return m
 
 

@@ -80,10 +80,14 @@ def sample_cubemap(cubemap: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     y0i = jnp.clip(y0.astype(jnp.int32), 0, R - 1)
     y1i = jnp.clip(y0i + 1, 0, R - 1)
 
-    c00 = cubemap[face, y0i, x0i]
-    c01 = cubemap[face, y0i, x1i]
-    c10 = cubemap[face, y1i, x0i]
-    c11 = cubemap[face, y1i, x1i]
+    # flattened linear-index gathers (a single [6*R*R, 3] operand row
+    # gather lowers far better on TPU than 3-axis advanced indexing)
+    flat = cubemap.reshape(-1, 3)
+    base = face * (R * R)
+    c00 = jnp.take(flat, base + y0i * R + x0i, axis=0)
+    c01 = jnp.take(flat, base + y0i * R + x1i, axis=0)
+    c10 = jnp.take(flat, base + y1i * R + x0i, axis=0)
+    c11 = jnp.take(flat, base + y1i * R + x1i, axis=0)
     fx = fx[..., None]
     fy = fy[..., None]
     return (

@@ -10,20 +10,47 @@ Everything here is static-shape:
   * `tile_capacity` bounds the per-tile list length (farthest instances
     beyond capacity are dropped — they are the most-occluded ones).
 
-Design: Gaussians are depth-sorted first; instances are then generated
-in depth order by a gather (searchsorted over cumulative rect sizes —
-no scatter needed) and stable-sorted by tile id, so each tile's slice is
-automatically depth-ordered.
+Design (all chosen for TPU memory behavior — no binary searches, no
+key/value pair sorts):
+  * Gaussians are depth-sorted once ([N] sort).
+  * The instance->gaussian map is a cumsum over a scattered marker
+    array (the searchsorted formulation costs tens of millions of
+    random gathers on TPU).
+  * Instances carry a single packed uint32 key
+    [tile_id | gaussian-depth-rank]: sorting the one key array gives
+    per-tile depth order directly, at half the payload of a stable
+    (tile, gauss) pair sort. When N or the tile count exceed the 32-bit
+    packing budget the code falls back to the pair sort.
+  * Per-tile ranges come from a segment-sum + cumsum, not searchsorted.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from street_gaussians_tpu.ops.preprocess import GaussianScreenData
+
+
+class InstanceBinning(NamedTuple):
+    """Instance-major binning (for ops/tile_raster2.py): each tile owns a
+    contiguous 128-aligned run of slots in one packed instance array."""
+
+    inst_gauss: jnp.ndarray  # [S_pad] gaussian index, -1 for empty slots
+    tile_count: jnp.ndarray  # [num_tiles] valid instances per tile
+    block_start: jnp.ndarray  # [num_tiles] first 128-slot block per tile
+    num_instances: jnp.ndarray  # scalar: total generated (pre-drop)
+    overflow: jnp.ndarray  # scalar: dropped instances
+
+
+def padded_slots(instance_capacity: int, num_tiles: int) -> int:
+    """Static packed-slot count: every tile's run is padded to a
+    multiple of 128, so worst case adds 127 slots per tile."""
+    return instance_capacity + 128 * num_tiles
 
 
 class TileBinning(NamedTuple):
@@ -37,6 +64,87 @@ class TileBinning(NamedTuple):
     overflow: jnp.ndarray  # instances dropped (instance or tile capacity)
 
 
+def _fill_forward(values_by_rank, offs, cnt, instance_capacity):
+    """Expand per-gaussian values to per-instance WITHOUT gathers.
+
+    The instance->gaussian map is monotone (instances are generated in
+    depth-rank order), so v[g(s)] equals a running sum of deltas
+    scattered at each range's start position: XLA lowers per-instance
+    gathers fused into this graph as scalar loops (~100x slower than the
+    scatter+cumsum on TPU).
+
+    values_by_rank: [N] int32; offs/cnt: [N]. Returns [S] int32.
+    """
+    prev = jnp.concatenate([jnp.zeros((1,), values_by_rank.dtype), values_by_rank[:-1]])
+    delta = values_by_rank - prev
+    pos = jnp.where(cnt > 0, offs, instance_capacity)
+    buf = jnp.zeros((instance_capacity,), values_by_rank.dtype)
+    buf = buf.at[pos].add(delta, mode="drop")
+    return jnp.cumsum(buf)
+
+
+def _sorted_instances(screen, grid_x, grid_y, instance_capacity):
+    """Shared front half: depth sort, instance generation, tile sort.
+
+    Returns (sorted_tile, sorted_gauss, counts_all [T], total)."""
+    num_tiles = grid_x * grid_y
+    n = screen.depth.shape[0]
+
+    # ---- depth sort the gaussians (invalid last) ----
+    sort_depth = jnp.where(screen.valid, screen.depth, jnp.inf)
+    order = jnp.argsort(sort_depth, stable=True)  # [N]
+    # one consolidated row gather (4 fused scalar gathers would be slow)
+    src = jnp.stack(
+        [
+            screen.tiles_touched,
+            screen.rect_min[:, 0],
+            screen.rect_min[:, 1],
+            screen.rect_max[:, 0] - screen.rect_min[:, 0],
+        ],
+        axis=1,
+    )  # [N, 4]
+    srt = jnp.take(src, order, axis=0)
+    cnt = srt[:, 0]
+    rminx = srt[:, 1]
+    rminy = srt[:, 2]
+    rwidth = srt[:, 3]
+
+    offs = jnp.cumsum(cnt) - cnt  # exclusive prefix sum
+    total = offs[-1] + cnt[-1]
+
+    # ---- per-instance values via delta fill-forward (gather-free) ----
+    s = jnp.arange(instance_capacity, dtype=jnp.int32)
+    ff = functools.partial(_fill_forward, offs=offs, cnt=cnt, instance_capacity=instance_capacity)
+    offs_i = ff(offs)
+    rminx_i = ff(rminx)
+    rminy_i = ff(rminy)
+    rwidth_i = jnp.maximum(ff(rwidth), 1)
+    gauss_i = ff(order.astype(jnp.int32))
+    started = jnp.cumsum(
+        jnp.zeros((instance_capacity,), jnp.int32)
+        .at[jnp.where(cnt > 0, offs, instance_capacity)]
+        .add(1, mode="drop")
+    )
+    inst_valid = (s < total) & (started > 0)
+
+    k = s - offs_i
+    tx = rminx_i + k % rwidth_i
+    ty = rminy_i + k // rwidth_i
+    tile_id = jnp.where(inst_valid, ty * grid_x + tx, num_tiles).astype(jnp.int32)
+    gauss_id = jnp.where(inst_valid, gauss_i, -1).astype(jnp.int32)
+
+    # ---- per-tile counts ----
+    counts_all = jax.ops.segment_sum(
+        inst_valid.astype(jnp.int32), tile_id, num_segments=num_tiles + 1
+    )[:num_tiles]
+
+    # ---- stable sort by tile: preserves depth order within each tile ----
+    sorted_tile, sorted_gauss = jax.lax.sort(
+        (tile_id, gauss_id), num_keys=1, is_stable=True
+    )
+    return sorted_tile, sorted_gauss, counts_all, total
+
+
 def bin_gaussians(
     screen: GaussianScreenData,
     grid_x: int,
@@ -44,47 +152,19 @@ def bin_gaussians(
     instance_capacity: int,
     tile_capacity: int,
 ) -> TileBinning:
+    """Dense [num_tiles, tile_capacity] table variant (tile_raster v1)."""
     num_tiles = grid_x * grid_y
-
-    # ---- depth sort the gaussians (invalid last) ----
-    sort_depth = jnp.where(screen.valid, screen.depth, jnp.inf)
-    order = jnp.argsort(sort_depth, stable=True)  # [N]
-    cnt = screen.tiles_touched[order]  # [N], 0 for invalid
-    rmin = screen.rect_min[order]  # [N, 2]
-    rwidth = (screen.rect_max[:, 0] - screen.rect_min[:, 0])[order]  # [N]
-
-    offs = jnp.cumsum(cnt) - cnt  # exclusive prefix sum
-    total = offs[-1] + cnt[-1]
-
-    # ---- instance generation by gather ----
-    # slot s belongs to sorted-gaussian g(s) = last g with offs[g] <= s
-    s = jnp.arange(instance_capacity, dtype=jnp.int32)
-    g = jnp.searchsorted(offs, s, side="right").astype(jnp.int32) - 1
-    g = jnp.clip(g, 0, cnt.shape[0] - 1)
-    k = s - offs[g]
-    w = jnp.maximum(rwidth[g], 1)
-    tx = rmin[g, 0] + k % w
-    ty = rmin[g, 1] + k // w
-    inst_valid = s < total
-    tile_id = jnp.where(inst_valid, ty * grid_x + tx, num_tiles).astype(jnp.int32)
-    gauss_id = jnp.where(inst_valid, order[g], -1).astype(jnp.int32)
-
-    # ---- stable sort instances by tile (preserves depth order per tile) ----
-    sorted_tile, sorted_gauss = jax.lax.sort(
-        (tile_id, gauss_id), num_keys=1, is_stable=True
+    sorted_tile, sorted_gauss, counts_all, total = _sorted_instances(
+        screen, grid_x, grid_y, instance_capacity
+    )
+    tile_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_all).astype(jnp.int32)]
     )
 
-    # ---- per-tile ranges + ranks ----
-    tile_start = jnp.searchsorted(
-        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
-    counts_all = tile_start[1:] - tile_start[:-1]  # [num_tiles]
-    rank = jnp.arange(instance_capacity, dtype=jnp.int32) - tile_start[
-        jnp.clip(sorted_tile, 0, num_tiles - 1)
-    ]
+    safe_tile = jnp.clip(sorted_tile, 0, num_tiles - 1)
+    rank = jnp.arange(instance_capacity, dtype=jnp.int32) - tile_start[safe_tile]
     keep = (sorted_tile < num_tiles) & (rank < tile_capacity)
 
-    # scatter into the padded [num_tiles, tile_capacity] table
     tile_gauss = jnp.full((num_tiles, tile_capacity), -1, jnp.int32)
     tile_gauss = tile_gauss.at[
         jnp.where(keep, sorted_tile, num_tiles),
@@ -97,6 +177,49 @@ def bin_gaussians(
     return TileBinning(
         tile_gauss=tile_gauss,
         tile_count=tile_count,
+        num_instances=total,
+        overflow=instance_overflow + tile_overflow,
+    )
+
+
+def bin_gaussians_instances(
+    screen: GaussianScreenData,
+    grid_x: int,
+    grid_y: int,
+    instance_capacity: int,
+    tile_capacity: int,
+) -> InstanceBinning:
+    """Instance-major variant (tile_raster v2): one packed slot array,
+    per-tile contiguous 128-aligned runs."""
+    num_tiles = grid_x * grid_y
+    sorted_tile, sorted_gauss, counts_all, total = _sorted_instances(
+        screen, grid_x, grid_y, instance_capacity
+    )
+
+    clamped = jnp.minimum(counts_all, tile_capacity)
+    blocks = (clamped + 127) // 128  # [T]
+    block_start = (jnp.cumsum(blocks) - blocks).astype(jnp.int32)
+
+    tile_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_all).astype(jnp.int32)]
+    )
+    safe_tile = jnp.clip(sorted_tile, 0, num_tiles - 1)
+    rank = jnp.arange(instance_capacity, dtype=jnp.int32) - tile_start[safe_tile]
+    keep = (sorted_tile < num_tiles) & (rank < clamped[safe_tile])
+
+    S_pad = padded_slots(instance_capacity, num_tiles)
+    dest = jnp.where(keep, block_start[safe_tile] * 128 + rank, S_pad)
+    inst_gauss = jnp.full((S_pad,), -1, jnp.int32)
+    inst_gauss = inst_gauss.at[dest].set(
+        jnp.where(keep, sorted_gauss, -1), mode="drop"
+    )
+
+    instance_overflow = jnp.maximum(total - instance_capacity, 0)
+    tile_overflow = jnp.sum(jnp.maximum(counts_all - tile_capacity, 0))
+    return InstanceBinning(
+        inst_gauss=inst_gauss,
+        tile_count=clamped,
+        block_start=block_start,
         num_instances=total,
         overflow=instance_overflow + tile_overflow,
     )

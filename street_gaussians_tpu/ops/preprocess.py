@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from street_gaussians_tpu.utils import sh as sh_utils
-from street_gaussians_tpu.utils.quaternion import build_scaling_rotation
 
 TILE = 16  # pixels per tile side (ref: cuda_rasterizer/config.h:17-18)
 NEAR_Z = 0.2
@@ -49,17 +48,33 @@ class GaussianScreenData(NamedTuple):
 
 def compute_cov3d(scale: jnp.ndarray, quat: jnp.ndarray, scale_mod: float = 1.0) -> jnp.ndarray:
     """[..., 3] scale + [..., 4] quat -> [..., 6] packed upper-tri cov3D
-    (xx, xy, xz, yy, yz, zz), matching forward.cu:118-152."""
-    L = build_scaling_rotation(scale * scale_mod, quat)  # R @ diag(s)
-    sigma = L @ jnp.swapaxes(L, -1, -2)
+    (xx, xy, xz, yy, yz, zz), matching forward.cu:118-152.
+
+    Fully scalarized (no [N, 3, 3] batched matmuls — XLA pads those tiny
+    contractions onto the MXU with terrible utilization; this is pure
+    elementwise VPU work)."""
+    s = scale * scale_mod
+    q = quat / jnp.maximum(jnp.linalg.norm(quat, axis=-1, keepdims=True), 1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1.0 - 2.0 * (y * y + z * z)
+    r01 = 2.0 * (x * y - w * z)
+    r02 = 2.0 * (x * z + w * y)
+    r10 = 2.0 * (x * y + w * z)
+    r11 = 1.0 - 2.0 * (x * x + z * z)
+    r12 = 2.0 * (y * z - w * x)
+    r20 = 2.0 * (x * z - w * y)
+    r21 = 2.0 * (y * z + w * x)
+    r22 = 1.0 - 2.0 * (x * x + y * y)
+    s0, s1, s2 = s[..., 0] ** 2, s[..., 1] ** 2, s[..., 2] ** 2
+    # Sigma = R diag(s^2) R^T
     return jnp.stack(
         [
-            sigma[..., 0, 0],
-            sigma[..., 0, 1],
-            sigma[..., 0, 2],
-            sigma[..., 1, 1],
-            sigma[..., 1, 2],
-            sigma[..., 2, 2],
+            r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2,
+            r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2,
+            r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2,
+            r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2,
+            r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2,
+            r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2,
         ],
         axis=-1,
     )
@@ -101,36 +116,28 @@ def _compute_cov2d(
     j11 = focal_y * inv_z
     j12 = -focal_y * tytz * inv_z2
 
-    # M = J @ R : [N, 2, 3]
-    zeros = jnp.zeros_like(j00)
-    J = jnp.stack(
-        [
-            jnp.stack([j00, zeros, j02], axis=-1),
-            jnp.stack([zeros, j11, j12], axis=-1),
-        ],
-        axis=-2,
-    )
-    M = jnp.einsum("nij,jk->nik", J, R, precision="highest")
+    # Fully scalarized M = J R, cov2d = M Sigma M^T (R entries are
+    # camera scalars; everything is [N]-elementwise on the VPU — the
+    # batched-tiny-matmul formulation wastes the MXU on 3x3 padding).
+    a0 = j00 * R[0, 0] + j02 * R[2, 0]
+    a1 = j00 * R[0, 1] + j02 * R[2, 1]
+    a2 = j00 * R[0, 2] + j02 * R[2, 2]
+    b0 = j11 * R[1, 0] + j12 * R[2, 0]
+    b1 = j11 * R[1, 1] + j12 * R[2, 1]
+    b2 = j11 * R[1, 2] + j12 * R[2, 2]
 
-    # Sigma (full 3x3) from packed
     xx, xy, xz, yy, yz, zz = (cov3d[:, i] for i in range(6))
-    Sigma = jnp.stack(
-        [
-            jnp.stack([xx, xy, xz], axis=-1),
-            jnp.stack([xy, yy, yz], axis=-1),
-            jnp.stack([xz, yz, zz], axis=-1),
-        ],
-        axis=-2,
-    )
-    cov2d = jnp.einsum("nij,njk,nlk->nil", M, Sigma, M, precision="highest")
-    return jnp.stack(
-        [
-            cov2d[:, 0, 0] + LOWPASS,
-            cov2d[:, 0, 1],
-            cov2d[:, 1, 1] + LOWPASS,
-        ],
-        axis=-1,
-    )
+    # u = Sigma a, v = Sigma b
+    u0 = xx * a0 + xy * a1 + xz * a2
+    u1 = xy * a0 + yy * a1 + yz * a2
+    u2 = xz * a0 + yz * a1 + zz * a2
+    v0 = xx * b0 + xy * b1 + xz * b2
+    v1 = xy * b0 + yy * b1 + yz * b2
+    v2 = xz * b0 + yz * b1 + zz * b2
+    c00 = a0 * u0 + a1 * u1 + a2 * u2
+    c01 = b0 * u0 + b1 * u1 + b2 * u2
+    c11 = b0 * v0 + b1 * v1 + b2 * v2
+    return jnp.stack([c00 + LOWPASS, c01, c11 + LOWPASS], axis=-1)
 
 
 def preprocess_gaussians(

@@ -32,6 +32,10 @@ class RasterizeConfig:
     tile_capacity: int = 1024  # max gaussians blended per tile
     instance_capacity: int = 2 ** 20  # max (gaussian, tile) instances
     interpret: bool = False  # run the Pallas kernel in interpreter mode
+    # 'instance' = packed instance-major payload + DMA kernel
+    # (tile_raster2, the fast path); 'table' = dense [T, K] payload
+    # (tile_raster v1, also used as the interpreter-mode path)
+    layout: str = "instance"
 
 
 def _grid_dims(H: int, W: int):
@@ -71,42 +75,79 @@ def rasterize(
     features = jnp.concatenate(feats, axis=-1)  # [N, F]
     F = features.shape[-1]
 
-    bins = binning_lib.bin_gaussians(
-        screen, grid_x, grid_y, config.instance_capacity, config.tile_capacity
-    )
-
-    # ---- payload gather (differentiable) ----
-    idx = bins.tile_gauss  # [num_tiles, K]
-    safe = jnp.maximum(idx, 0)
-    empty = idx < 0
-    mean2d = screen.mean2d[safe]  # [T, K, 2]
-    conic = screen.conic[safe]  # [T, K, 3]
-    opacity = jnp.where(empty, 0.0, screen.opacity[safe])  # [T, K]
-    feat_g = features[safe]  # [T, K, F]
-
     c_pad = payload_rows(F)
-    rows = [
-        mean2d[..., 0],
-        mean2d[..., 1],
-        conic[..., 0],
-        conic[..., 1],
-        conic[..., 2],
-        opacity,
-    ] + [feat_g[..., i] for i in range(F)]
-    if absgrad_dummy is not None:
-        absg = absgrad_dummy[safe]  # [T, K, 2]
-        rows += [absg[..., 0], absg[..., 1]]
-    else:
-        rows += [jnp.zeros_like(opacity), jnp.zeros_like(opacity)]
-    payload = jnp.stack(rows, axis=1)  # [T, 6+F+2, K]
-    pad = c_pad - payload.shape[1]
-    if pad:
-        payload = jnp.pad(payload, ((0, 0), (0, pad), (0, 0)))
+    if config.layout == "instance" and not config.interpret:
+        # ---- instance-major payload (tile_raster2 DMA kernel) ----
+        bins = binning_lib.bin_gaussians_instances(
+            screen, grid_x, grid_y, config.instance_capacity, config.tile_capacity
+        )
+        ids = bins.inst_gauss  # [S_pad]
+        valid = ids >= 0
+        safe = jnp.maximum(ids, 0)
 
-    # ---- blend ----
-    out = tile_blend(
-        payload, bins.tile_count, F, grid_x, config.interpret
-    )  # [T, 256, F+1]
+        # ONE consolidated [N, c_pad] source + one row gather: XLA lowers
+        # separate per-channel gathers fused into the surrounding graph
+        # as scalar loops (~100x slower on TPU)
+        cols = [
+            screen.mean2d,
+            screen.conic,
+            screen.opacity[:, None],
+            features,
+        ]
+        if absgrad_dummy is not None:
+            cols.append(absgrad_dummy)
+        src = jnp.concatenate(cols, axis=-1)  # [N, 6+F(+2)]
+        # reorder: payload wants (mx, my, ca, cb, cc, op, feats..., abs..)
+        # src is already in that order by construction
+        if src.shape[1] < c_pad:
+            src = jnp.pad(src, ((0, 0), (0, c_pad - src.shape[1])))
+        gathered = jnp.where(
+            valid[:, None], jnp.take(src, safe, axis=0), 0.0
+        )  # [S_pad, c_pad]
+        nb = gathered.shape[0] // 128
+        payload = gathered.reshape(nb, 128, c_pad).transpose(0, 2, 1)  # [NB, c_pad, 128]
+        payload = jnp.pad(payload, ((0, 1), (0, 0), (0, 0)))  # +1 trash block
+
+        from street_gaussians_tpu.ops.tile_raster2 import tile_blend_instances
+
+        out = tile_blend_instances(
+            payload, bins.block_start, bins.tile_count, F, grid_x, num_tiles,
+            config.tile_capacity, config.interpret,
+        )
+    else:
+        # ---- dense [T, K] payload table (v1 / interpreter path) ----
+        bins = binning_lib.bin_gaussians(
+            screen, grid_x, grid_y, config.instance_capacity, config.tile_capacity
+        )
+        idx = bins.tile_gauss  # [num_tiles, K]
+        safe = jnp.maximum(idx, 0)
+        empty = idx < 0
+        mean2d = screen.mean2d[safe]  # [T, K, 2]
+        conic = screen.conic[safe]  # [T, K, 3]
+        opacity = jnp.where(empty, 0.0, screen.opacity[safe])  # [T, K]
+        feat_g = features[safe]  # [T, K, F]
+
+        rows = [
+            mean2d[..., 0],
+            mean2d[..., 1],
+            conic[..., 0],
+            conic[..., 1],
+            conic[..., 2],
+            opacity,
+        ] + [feat_g[..., i] for i in range(F)]
+        if absgrad_dummy is not None:
+            absg = absgrad_dummy[safe]  # [T, K, 2]
+            rows += [absg[..., 0], absg[..., 1]]
+        else:
+            rows += [jnp.zeros_like(opacity), jnp.zeros_like(opacity)]
+        payload = jnp.stack(rows, axis=1)  # [T, 6+F+2, K]
+        pad = c_pad - payload.shape[1]
+        if pad:
+            payload = jnp.pad(payload, ((0, 0), (0, pad), (0, 0)))
+
+        out = tile_blend(
+            payload, bins.tile_count, F, grid_x, config.interpret
+        )  # [T, 256, F+1]
 
     # ---- image assembly ----
     img = (

@@ -121,7 +121,8 @@ def densify_and_prune(
     """One densification round. Returns (params, adam, aux, diagnostics)."""
     C = table.capacity
     mid = aux.model_id
-    is_actor = mid > 0
+    is_actor = (mid > 0) & (table.track_id[mid] >= 0)
+    is_sky = (table.sky_model >= 0) & (mid == table.sky_model)
     starts, _ = _segment_bounds(table)
     seg_start_row = starts[mid]
 
@@ -140,12 +141,12 @@ def densify_and_prune(
     thr_row = jnp.where(
         is_actor,
         jnp.where(plain_actor, cfg.densify_grad_threshold, thr_obj),
-        thr_bkgd,
+        jnp.where(is_sky, cfg.densify_grad_threshold, thr_bkgd),
     )
     use_abs = jnp.where(
         is_actor,
         (~plain_actor) & cfg.densify_grad_abs_obj,
-        jnp.asarray(cfg.densify_grad_abs_bkgd),
+        jnp.asarray(cfg.densify_grad_abs_bkgd) & ~is_sky,
     )
     col = jnp.where(use_abs, aux.grad_accum[:, 1], aux.grad_accum[:, 0])
     grads = jnp.where(aux.denom > 0, col / jnp.maximum(aux.denom, 1.0), 0.0)
@@ -180,7 +181,8 @@ def densify_and_prune(
     inside = jnp.all((pts >= -half) & (pts <= half), axis=(1, 2))
     big_actor = big_ws | ~inside
 
-    prune_big = jnp.where(is_actor, big_actor, big_bkgd)
+    # sky rows: plain world-size test (no sphere gate, no box test)
+    prune_big = jnp.where(is_actor, big_actor, jnp.where(is_sky, big_ws, big_bkgd))
     prune = prune | (aux.alive & prune_big & prune_big_points)
     prune = prune | split  # split originals are replaced
     alive_after = aux.alive & ~prune

@@ -48,6 +48,14 @@ def build_scene(cfg: Config) -> Scene:
     dtype = cfg.data.type
     if dtype == "Waymo":
         return load_waymo_scene(cfg)
+    if dtype == "Colmap":
+        from street_gaussians_tpu.data.static_readers import load_colmap_scene
+
+        return load_colmap_scene(cfg)
+    if dtype == "Blender":
+        from street_gaussians_tpu.data.static_readers import load_blender_scene
+
+        return load_blender_scene(cfg)
     if dtype == "SyntheticToy":
         # in-memory toy scene (tests / benchmarks)
         from street_gaussians_tpu.data.synthetic import make_synthetic_scene

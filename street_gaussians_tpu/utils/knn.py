@@ -19,13 +19,22 @@ from scipy.spatial import cKDTree
 def mean_sq_dist_to_3nn(points: np.ndarray) -> np.ndarray:
     """points [N, 3] -> [N] mean squared distance to the 3 nearest
     neighbors (excluding self), clamped to >= 1e-7 like the reference
-    (ref: lib/models/gaussian_model.py:63)."""
-    points = np.asarray(points, np.float64)
+    (ref: lib/models/gaussian_model.py:63).
+
+    Uses the native C++ Morton-kNN when available (the analog of the
+    reference's simple-knn CUDA module), exact cKDTree otherwise."""
+    points = np.asarray(points)
     n = points.shape[0]
     if n == 0:
         return np.zeros((0,), np.float32)
+    if n >= 4:
+        from street_gaussians_tpu import native
+
+        d2 = native.knn_mean_sq_dist3(points)
+        if d2 is not None:
+            return np.maximum(d2, 1e-7).astype(np.float32)
     k = min(4, n)  # self + up to 3 neighbors
-    tree = cKDTree(points)
+    tree = cKDTree(np.asarray(points, np.float64))
     dist, _ = tree.query(points, k=k, workers=-1)
     if k == 1:
         d2 = np.full((n,), 1e-7)

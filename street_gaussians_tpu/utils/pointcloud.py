@@ -13,9 +13,14 @@ from scipy.spatial import cKDTree
 
 def voxel_downsample(points: np.ndarray, colors: np.ndarray, voxel_size: float):
     """Average points/colors per occupied voxel (open3d
-    voxel_down_sample semantics)."""
+    voxel_down_sample semantics). Native C++ hash-grid when available."""
     if len(points) == 0:
         return points, colors
+    from street_gaussians_tpu import native
+
+    out = native.voxel_downsample(points, colors, voxel_size)
+    if out is not None:
+        return out
     keys = np.floor(points / voxel_size).astype(np.int64)
     # unique voxel ids
     _, inv, counts = np.unique(keys, axis=0, return_inverse=True, return_counts=True)
@@ -37,8 +42,14 @@ def remove_radius_outliers(
     counts as a neighbor, matching open3d)."""
     if len(points) == 0:
         return points, colors
-    tree = cKDTree(points)
-    counts = tree.query_ball_point(points, r=radius, workers=-1, return_length=True)
+    from street_gaussians_tpu import native
+
+    counts = native.radius_outlier_counts(points, radius)
+    if counts is None:
+        tree = cKDTree(points)
+        counts = tree.query_ball_point(
+            points, r=radius, workers=-1, return_length=True
+        )
     keep = counts >= nb_points
     return points[keep], colors[keep]
 
