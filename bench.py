@@ -43,8 +43,8 @@ def main():
     on_tpu = backend == "tpu" or jax.devices()[0].platform not in ("cpu",)
     # 1280x880 ~= Waymo side-camera scale; full 1600px compile exceeds
     # the axon tunnel's patience on cold cache — revisit when cached.
-    H, W = (880, 1280) if on_tpu else (64, 96)
-    num_bkgd = 150_000 if on_tpu else 400
+    H, W = (1064, 1600) if on_tpu else (64, 96)
+    num_bkgd = 220_000 if on_tpu else 400
     tile_capacity = 1024 if on_tpu else 128
     instance_capacity = 2 ** 21 if on_tpu else 2 ** 13
     iters = 20 if on_tpu else 2

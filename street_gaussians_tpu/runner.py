@@ -211,6 +211,21 @@ def training(cfg: Config, progress: bool = True) -> Dict:
     os.makedirs(cfg.record_dir, exist_ok=True)
     log_f = open(log_path, "a")
 
+    # optional tensorboard (ref: train.py:227-260 prepare_output_and_logger)
+    tb = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb = SummaryWriter(cfg.model_path)
+    except Exception:
+        pass
+
+    eval_obj_render = (
+        make_eval_render(cfg, scene, render_object_mask(scene.table))
+        if scene.table.num_models > 1
+        else None
+    )
+
     ema_loss, ema_psnr = 0.0, 0.0
     t_start = time.time()
     scalars = {}
@@ -258,6 +273,34 @@ def training(cfg: Config, progress: bool = True) -> Dict:
             rec["iteration"] = iteration
             log_f.write(json.dumps(rec) + "\n")
             log_f.flush()
+            if tb is not None:
+                for k, v in rec.items():
+                    if k != "iteration":
+                        tb.add_scalar(f"train/{k}", v, iteration)
+
+        # debug image grid every 1000 iters (ref: train.py:146-163):
+        # row0 = gt | render | depth ; row1 = acc | objects | obj acc
+        if iteration % 1000 == 0:
+            from street_gaussians_tpu.visualize import save_image, visualize_depth
+
+            r = eval_render(state.params, state.aux, view.frame_input)
+            rgb = np.asarray(r["rgb"])
+            depth_c, _ = visualize_depth(np.asarray(r["depth"]))
+            acc = np.asarray(r["acc"])[..., None].repeat(3, -1)
+            if eval_obj_render is not None:
+                ro = eval_obj_render(state.params, state.aux, view.frame_input)
+                obj_rgb = np.asarray(ro["rgb"])
+                obj_acc = np.asarray(ro["acc"])[..., None].repeat(3, -1)
+            else:
+                obj_rgb = np.zeros_like(rgb)
+                obj_acc = np.zeros_like(rgb)
+            row0 = np.concatenate([np.asarray(gt.image), rgb, depth_c / 255.0], axis=1)
+            row1 = np.concatenate([acc, obj_rgb, obj_acc], axis=1)
+            grid = np.clip(np.concatenate([row0, row1], axis=0), 0, 1)
+            os.makedirs(os.path.join(cfg.model_path, "log_images"), exist_ok=True)
+            save_image(
+                os.path.join(cfg.model_path, "log_images", f"{iteration}.jpg"), grid
+            )
 
         if iteration in cfg.train.test_iterations:
             report = evaluate_psnr(cfg, scene, state, eval_render)
