@@ -355,6 +355,47 @@ def get_rotation(params: GaussianParams) -> jnp.ndarray:
     return params.rot / jnp.maximum(n, 1e-12)
 
 
+def scale_flatten_loss(params: GaussianParams, alive: jnp.ndarray) -> jnp.ndarray:
+    """Flatten regularizer over alive Gaussians: push the smallest axis
+    to zero and the two large axes toward each other
+    (ref: gaussian_model.py:271-280; dormant — lambda_scale_flatten
+    defaults to 0 and the reference loop never calls it)."""
+    scales = jnp.exp(params.log_scale)
+    s = jnp.sort(scales, axis=1)
+    s1 = jnp.clip(s[:, 0], 0.0, 30.0)
+    s2 = jnp.clip(s[:, 1], 1e-5, 30.0)
+    s3 = jnp.clip(s[:, 2], 1e-5, 30.0)
+    per_row = jnp.abs(s1) + jnp.abs(s2 / s3 + s3 / s2 - 2.0)
+    w = alive.astype(jnp.float32)
+    return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def box_reg_loss(params: GaussianParams, aux, table: SceneTable) -> jnp.ndarray:
+    """Actor scale-vs-box regularizer averaged over actors
+    (ref: gaussian_model_actor.py:266-271, street_gaussian_model.py:588-595),
+    percent_dense = 0.01."""
+    if table.num_actors == 0:
+        return jnp.zeros(())
+    mid = aux.model_id
+    is_actor = (mid > 0) & (table.track_id[mid] >= 0) & aux.alive
+    ext = table.extent[mid]
+    smax = jnp.max(jnp.exp(params.log_scale), axis=1)
+    smax = jnp.where(smax > ext * 0.01, smax, 0.0)
+    per_row = smax / jnp.maximum(ext, 1e-6)
+    # per-actor mean, then mean over actors
+    sums = jax.ops.segment_sum(
+        jnp.where(is_actor, per_row, 0.0), mid, num_segments=table.num_models
+    )
+    cnts = jax.ops.segment_sum(
+        is_actor.astype(jnp.float32), mid, num_segments=table.num_models
+    )
+    means = sums / jnp.maximum(cnts, 1.0)
+    actor_mask = (jnp.arange(table.num_models) > 0) & (table.track_id >= 0)
+    return jnp.sum(jnp.where(actor_mask, means, 0.0)) / jnp.maximum(
+        jnp.sum(actor_mask), 1
+    )
+
+
 def active_sh_degree(step, max_degree: int):
     """SH degree ramp: +1 every 1000 iters up to max
     (ref: train.py:70-71, gaussian_model.py:282-284)."""

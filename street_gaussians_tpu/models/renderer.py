@@ -85,6 +85,7 @@ class RenderOptions:
     """Static render configuration (shapes/branches under jit)."""
 
     mode: str = "train"  # 'train' enables flip augmentation + ray jitter
+    render_normal: bool = False
     use_semantic: bool = False
     semantic_mode: str = "logits"
     white_background: bool = False
@@ -249,6 +250,23 @@ def compose_frame(
         )
         semantic = jnp.where(is_actor_row[:, None], sem_actor, sem_bkgd)
 
+    # --- normals from the min-scale axis, camera-facing (ref:
+    # gaussian_model.py:256-269; actor normals use the composed world
+    # rotation, street_gaussian_model.py:460-480) ---
+    normals = None
+    if opts.render_normal:
+        R = quat_to_rotmat(quats)  # [C, 3, 3]
+        min_axis = jnp.argmin(scales, axis=1)  # [C]
+        normals = jnp.take_along_axis(
+            R, min_axis[:, None, None].repeat(3, 1), axis=2
+        )[..., 0]  # columns of R
+        dir_pp = means3d - frame_inp.cam.cam_center[None, :]
+        dir_pp = dir_pp / jnp.maximum(
+            jnp.linalg.norm(dir_pp, axis=-1, keepdims=True), 1e-12
+        )
+        dot = jnp.sum(-dir_pp * normals, axis=-1, keepdims=True)
+        normals = jnp.where(dot >= 0, normals, -normals)
+
     return dict(
         means3d=means3d,
         scales=scales,
@@ -256,6 +274,7 @@ def compose_frame(
         opacity=jax.nn.sigmoid(g.opacity_logit)[:, 0],
         shs=shs,
         semantic=semantic,
+        normals=normals,
         visible=visible,
     )
 
@@ -312,13 +331,22 @@ def render_frame(
     if mean2d_offset is not None:
         screen = screen._replace(mean2d=screen.mean2d + mean2d_offset)
 
+    # extra blend channels: normals first, then semantics (the
+    # reference's packing order, street_gaussian_renderer.py:206-227)
+    extras = []
+    if composed["normals"] is not None:
+        extras.append(composed["normals"])
+    if composed["semantic"] is not None:
+        extras.append(composed["semantic"])
+    extra_features = jnp.concatenate(extras, axis=-1) if extras else None
+
     bg = jnp.ones(3, jnp.float32) if opts.white_background else jnp.zeros(3, jnp.float32)
     out = rasterize(
         screen,
         cam.H,
         cam.W,
         bg_color=bg,
-        extra_features=composed["semantic"],
+        extra_features=extra_features,
         config=RasterizeConfig(
             tile_capacity=opts.tile_capacity,
             instance_capacity=opts.instance_capacity,
@@ -349,12 +377,21 @@ def render_frame(
     if opts.mode != "train":
         out["rgb"] = jnp.clip(out["rgb"], 0.0, 1.0)
 
-    if opts.use_semantic and "extra" in out:
-        sem = out.pop("extra")
-        if opts.semantic_mode == "probabilities":
-            sem = sem / (jnp.sum(sem, axis=-1, keepdims=True) + 1e-8)
-            sem = jnp.log(sem + 1e-8)
-        out["semantic"] = sem
+    if "extra" in out and extras:
+        planes = out.pop("extra")
+        offset = 0
+        if composed["normals"] is not None:
+            n = planes[..., 0:3]
+            out["normals"] = n / jnp.maximum(
+                jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8
+            )
+            offset = 3
+        if composed["semantic"] is not None:
+            sem = planes[..., offset:]
+            if opts.semantic_mode == "probabilities":
+                sem = sem / (jnp.sum(sem, axis=-1, keepdims=True) + 1e-8)
+                sem = jnp.log(sem + 1e-8)
+            out["semantic"] = sem
 
     out["radii"] = screen.radius
     out["visibility"] = screen.radius > 0

@@ -98,7 +98,8 @@ def make_data_parallel_train_step(
                 include_mask=obj_mask, key=key, opts=opts, compose_sky=False,
             )
         loss, scalars = compute_losses(
-            out, out_obj, gt, params, cfg, frame_inp.cam.image_id, use_obj_loss
+            out, out_obj, gt, params, cfg, frame_inp.cam.image_id, use_obj_loss,
+            aux=aux, table=table,
         )
         scalars["psnr"] = L.psnr(out["rgb"], gt.image, gt.mask)
         return loss, (scalars, out["radii"])
@@ -152,6 +153,7 @@ def make_data_parallel_train_step(
         # ---- ICI collectives: average param grads + metrics ----
         g_params = jax.lax.pmean(g_params, "data")
         scalars = jax.lax.pmean(scalars, "data")
+        scalars["num_alive"] = jnp.sum(aux.alive)
 
         in_range = (frame_inp.cam.frame >= table.start_frame[aux.model_id]) & (
             frame_inp.cam.frame <= table.end_frame[aux.model_id]

@@ -131,6 +131,7 @@ def render_opts_from_cfg(cfg: Config, mode: str) -> RenderOptions:
         interpret = True
     return RenderOptions(
         mode=mode,
+        render_normal=cfg.render.get("render_normal", False),
         use_semantic=cfg.data.get("use_semantic", False),
         semantic_mode=cfg.model.gaussian.get("semantic_mode", "logits"),
         white_background=cfg.data.get("white_background", False),
@@ -179,15 +180,72 @@ def make_eval_render(cfg: Config, scene: Scene, include_mask=None):
     return eval_render
 
 
+def save_scene_artifacts(cfg: Config, scene: Scene) -> None:
+    """input.ply + cameras.json for SIBR-style viewers
+    (ref: lib/datasets/dataset.py:32-48, camera_utils.py:172-192)."""
+    from street_gaussians_tpu.utils import ply as ply_utils
+
+    s, e = scene.table.slice_of("background")
+    alive = np.asarray(scene.aux_init.alive[s:e])
+    pts = np.asarray(scene.params_init.xyz[s:e])[alive]
+    from street_gaussians_tpu.utils.sh import sh_to_rgb
+
+    cols = sh_to_rgb(np.asarray(scene.params_init.feat_dc[s:e, 0])[alive])
+    ply_utils.write_points_ply(
+        os.path.join(cfg.model_path, "input.ply"), pts, np.clip(cols, 0, 1)
+    )
+
+    json_cams = []
+    for i, view in enumerate(scene.test_views + scene.train_views):
+        w2c = np.asarray(view.frame_input.cam.w2c)
+        c2w = np.linalg.inv(w2c)
+        K = np.asarray(view.frame_input.cam.K)
+        json_cams.append(
+            {
+                "id": i,
+                "img_name": view.image_name,
+                "width": view.W,
+                "height": view.H,
+                "position": c2w[:3, 3].tolist(),
+                "rotation": [row.tolist() for row in c2w[:3, :3]],
+                "fx": float(K[0, 0]),
+                "fy": float(K[1, 1]),
+            }
+        )
+    with open(os.path.join(cfg.model_path, "cameras.json"), "w") as f:
+        json.dump(json_cams, f)
+
+
 def training(cfg: Config, progress: bool = True) -> Dict:
     """Full training run (ref: train.py:24-225). Returns final metrics."""
     os.makedirs(cfg.model_path, exist_ok=True)
     save_config(cfg, os.path.join(cfg.model_path, "configs", "config_train.yaml"))
     scene = build_scene(cfg)
+    try:
+        save_scene_artifacts(cfg, scene)
+    except Exception as exc:  # artifacts are viewer conveniences only
+        print(f"[warn] scene artifacts not written: {exc}")
     params = build_initial_params(cfg, scene)
     state = train_lib.init_train_state(params, scene.aux_init)
 
     opts = render_opts_from_cfg(cfg, "train")
+    # camera-data-parallel over the device mesh when batch_size > 1
+    # (no reference analog — strictly single-GPU there, SURVEY.md §2.6)
+    batch_size = int(cfg.train.get("batch_size", 1))
+    use_dp = batch_size > 1 and len(jax.devices()) >= batch_size
+    if use_dp:
+        from street_gaussians_tpu.parallel.dp import (
+            make_data_parallel_train_step,
+            make_mesh,
+            stack_frames,
+            stack_gts,
+        )
+
+        mesh = make_mesh(batch_size)
+        dp_step_fn = make_data_parallel_train_step(
+            cfg, scene.table, scene.pose_data, opts, mesh
+        )
+        print(f"[dp] camera-data-parallel over {batch_size} devices")
     step_fn = train_lib.make_train_step(cfg, scene.table, scene.pose_data, opts)
     densify_fn = train_lib.make_densify_fn(cfg, scene.table)
     reset_fn = train_lib.make_reset_opacity_fn()
@@ -237,7 +295,26 @@ def training(cfg: Config, progress: bool = True) -> Dict:
         gt = gt_cache.get(view)
 
         key, sub = jax.random.split(key)
-        state, scalars = step_fn(state, view.frame_input, gt, sub)
+        if use_dp:
+            # one camera per device, same (H, W): pull batch-mates of the
+            # same sensor resolution from the stack
+            batch_views = [view]
+            rest = []
+            while view_stack and len(batch_views) < batch_size:
+                v = view_stack.pop()
+                if (v.H, v.W) == (view.H, view.W):
+                    batch_views.append(v)
+                else:
+                    rest.append(v)
+            view_stack.extend(rest)
+            n_unique = len(batch_views)
+            while len(batch_views) < batch_size:  # cycle when short
+                batch_views.append(batch_views[len(batch_views) % n_unique])
+            frames_b = stack_frames([v.frame_input for v in batch_views])
+            gts_b = stack_gts([gt_cache.get(v) for v in batch_views])
+            state, scalars = dp_step_fn(state, frames_b, gts_b, sub)
+        else:
+            state, scalars = step_fn(state, view.frame_input, gt, sub)
 
         # densification & opacity reset cadence (train.py:186-210)
         if iteration < o.densify_until_iter:
@@ -460,15 +537,23 @@ def evaluate_metrics(cfg: Config) -> Dict:
             gt = np.asarray(gt_cache.get(view).image)
             psnr_v = float(L.psnr(jnp.asarray(pred), jnp.asarray(gt)))
             ssim_v = float(L.ssim(jnp.asarray(pred), jnp.asarray(gt)))
-            per_view.append(
-                {"name": view.image_name, "psnr": psnr_v, "ssim": ssim_v}
-            )
+            rec = {"name": view.image_name, "psnr": psnr_v, "ssim": ssim_v}
+            from street_gaussians_tpu.utils.lpips import lpips as lpips_fn
+
+            lp = lpips_fn(pred, gt)
+            if lp is not None:
+                rec["lpips"] = lp
+            per_view.append(rec)
         if per_view:
             results[split] = {
                 "psnr": sum(v["psnr"] for v in per_view) / len(per_view),
                 "ssim": sum(v["ssim"] for v in per_view) / len(per_view),
                 "per_view": per_view,
             }
+            if "lpips" in per_view[0]:
+                results[split]["lpips"] = sum(
+                    v["lpips"] for v in per_view
+                ) / len(per_view)
             with open(
                 os.path.join(cfg.model_path, f"results_{split}.json"), "w"
             ) as f:

@@ -218,8 +218,12 @@ def compute_losses(
     cfg: Config,
     cam_image_id,
     use_obj_loss,
+    aux=None,
+    table=None,
 ):
-    """The reference loss stack (ref: train.py:100-140)."""
+    """The reference loss stack (ref: train.py:100-140) plus the dormant
+    regularizers the reference defines but never wires
+    (scale-flatten, box-reg) — active only when their lambdas are set."""
     o = cfg.optim
     scalars = {}
     image = out["rgb"]
@@ -274,6 +278,16 @@ def compute_losses(
         scalars["pose_correction_reg_loss"] = pc
         loss = loss + o.lambda_pose_correction * pc
 
+    if o.get("lambda_scale_flatten", 0.0) > 0 and aux is not None:
+        sf = G.scale_flatten_loss(params.gaussians, aux.alive)
+        scalars["scale_flatten_loss"] = sf
+        loss = loss + o.lambda_scale_flatten * sf
+
+    if o.get("lambda_box_reg", 0.0) > 0 and aux is not None and table is not None:
+        br = G.box_reg_loss(params.gaussians, aux, table)
+        scalars["box_reg_loss"] = br
+        loss = loss + o.lambda_box_reg * br
+
     scalars["loss"] = loss
     return loss, scalars
 
@@ -326,7 +340,8 @@ def make_train_step(
                 compose_sky=False,
             )
         loss, scalars = compute_losses(
-            out, out_obj, gt, params, cfg, frame_inp.cam.image_id, use_obj_loss
+            out, out_obj, gt, params, cfg, frame_inp.cam.image_id, use_obj_loss,
+            aux=state_aux, table=table,
         )
         scalars["psnr"] = L.psnr(out["rgb"], gt.image, gt.mask)
         return loss, (scalars, out["radii"], out["overflow"])

@@ -166,3 +166,32 @@ def test_actor_pose_residual_shifts_actor():
     s, e = scene.table.slice_of(scene.table.names[1])
     shift = np.asarray(moved["means3d"][s:e] - base["means3d"][s:e])
     np.testing.assert_allclose(shift, [[1.0, 0, 0]] * (e - s), atol=1e-5)
+
+
+def test_normal_rendering():
+    scene = make_scene()
+    params = SceneParams(scene.params_init, scene.pose_params_init, None, None, None)
+    opts = dataclasses.replace(OPTS, render_normal=True)
+    out = render_frame(
+        params, scene.aux, scene.table, scene.pose_data, scene.frames[2],
+        step=jnp.asarray(0), opts=opts,
+    )
+    assert out["normals"].shape == (32, 48, 3)
+    n = np.asarray(out["normals"])
+    assert np.isfinite(n).all()
+    norms = np.linalg.norm(n, axis=-1)
+    # normalized wherever anything rendered
+    acc = np.asarray(out["acc"])
+    assert np.allclose(norms[acc > 0.5], 1.0, atol=1e-3)
+
+
+def test_normal_and_semantic_together():
+    scene = make_scene(use_semantic=True, num_classes=5)
+    params = SceneParams(scene.params_init, scene.pose_params_init, None, None, None)
+    opts = dataclasses.replace(OPTS, render_normal=True, use_semantic=True)
+    out = render_frame(
+        params, scene.aux, scene.table, scene.pose_data, scene.frames[1],
+        step=jnp.asarray(0), opts=opts,
+    )
+    assert out["normals"].shape == (32, 48, 3)
+    assert out["semantic"].shape == (32, 48, 5)
