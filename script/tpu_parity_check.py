@@ -2,6 +2,8 @@
 Run on a real TPU: python script/tpu_parity_check.py
 """
 """v1 vs v2 rasterizer parity + timing on real TPU."""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import time
 import dataclasses
 import jax, jax.numpy as jnp, numpy as np

@@ -190,29 +190,100 @@ def bin_gaussians_instances(
     tile_capacity: int,
 ) -> InstanceBinning:
     """Instance-major variant (tile_raster v2): one packed slot array,
-    per-tile contiguous 128-aligned runs."""
+    per-tile contiguous 128-aligned runs.
+
+    Engineered around TPU scatter/gather costs: per-gaussian values
+    expand to per-instance through ONE multi-channel delta-scatter +
+    cumsum; after the stable tile sort, per-tile quantities come from
+    boundary detection + cummax/small scatters — no per-instance
+    gathers, no segment_sum over contended buckets.
+    """
     num_tiles = grid_x * grid_y
-    sorted_tile, sorted_gauss, counts_all, total = _sorted_instances(
-        screen, grid_x, grid_y, instance_capacity
+    n = screen.depth.shape[0]
+    S = instance_capacity
+
+    # ---- depth sort + per-gaussian rect data (one row gather) ----
+    sort_depth = jnp.where(screen.valid, screen.depth, jnp.inf)
+    order = jnp.argsort(sort_depth, stable=True)  # [N]
+    src = jnp.stack(
+        [
+            screen.tiles_touched,
+            screen.rect_min[:, 0],
+            screen.rect_min[:, 1],
+            screen.rect_max[:, 0] - screen.rect_min[:, 0],
+        ],
+        axis=1,
     )
+    srt = jnp.take(src, order, axis=0)
+    cnt = srt[:, 0]
+    offs = jnp.cumsum(cnt) - cnt
+    total = offs[-1] + cnt[-1]
+
+    # ---- per-instance expansion: ONE [S, 6] delta scatter + cumsum ----
+    # channels: offs, rminx, rminy, rwidth, gauss-id, started-marker
+    vals = jnp.stack(
+        [offs, srt[:, 1], srt[:, 2], srt[:, 3], order.astype(jnp.int32)], axis=1
+    )  # [N, 5]
+    prev = jnp.concatenate([jnp.zeros((1, 5), vals.dtype), vals[:-1]], axis=0)
+    deltas = jnp.concatenate(
+        [vals - prev, jnp.ones((n, 1), jnp.int32)], axis=1
+    )  # [N, 6]
+    pos = jnp.where(cnt > 0, offs, S)
+    buf = jnp.zeros((S, 6), jnp.int32).at[pos].add(deltas, mode="drop")
+    expanded = jnp.cumsum(buf, axis=0)  # [S, 6]
+    offs_i = expanded[:, 0]
+    rx = expanded[:, 1]
+    ry = expanded[:, 2]
+    rw = jnp.maximum(expanded[:, 3], 1)
+    gauss_i = expanded[:, 4]
+    started = expanded[:, 5]
+
+    s = jnp.arange(S, dtype=jnp.int32)
+    inst_valid = (s < total) & (started > 0)
+    k = s - offs_i
+    tile_id = jnp.where(
+        inst_valid, (ry + k // rw) * grid_x + rx + k % rw, num_tiles
+    ).astype(jnp.int32)
+    gauss_id = jnp.where(inst_valid, gauss_i, -1).astype(jnp.int32)
+
+    # ---- stable sort by tile (depth order preserved within tiles) ----
+    st, sg = jax.lax.sort((tile_id, gauss_id), num_keys=1, is_stable=True)
+
+    # ---- per-tile starts from sort boundaries (no segment_sum) ----
+    prev_t = jnp.concatenate([jnp.full((1,), -1, jnp.int32), st[:-1]])
+    boundary = (st != prev_t) & (st < num_tiles)
+    # first-occurrence index per tile; empty tiles filled by reverse cummin
+    starts_raw = (
+        jnp.full((num_tiles + 1,), total, jnp.int32)
+        .at[jnp.where(boundary, st, num_tiles + 1)]
+        .set(jnp.where(boundary, s, 0), mode="drop")
+    )
+    tile_start = jax.lax.cummin(starts_raw[::-1])[::-1]  # [T+1], non-decreasing
+    counts_all = tile_start[1:] - tile_start[:-1]
 
     clamped = jnp.minimum(counts_all, tile_capacity)
-    blocks = (clamped + 127) // 128  # [T]
+    blocks = (clamped + 127) // 128
     block_start = (jnp.cumsum(blocks) - blocks).astype(jnp.int32)
 
-    tile_start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_all).astype(jnp.int32)]
-    )
-    safe_tile = jnp.clip(sorted_tile, 0, num_tiles - 1)
-    rank = jnp.arange(instance_capacity, dtype=jnp.int32) - tile_start[safe_tile]
-    keep = (sorted_tile < num_tiles) & (rank < clamped[safe_tile])
+    # ---- per-instance rank + aligned destination, gather-free ----
+    running_start = jax.lax.cummax(jnp.where(boundary, s, 0))
+    rank = s - running_start
+    # aligned start per instance: delta-scatter 128*block_start at each
+    # tile's first slot (positions = tile_start[:T], a small scatter)
+    aligned = (block_start * 128).astype(jnp.int32)
+    aprev = jnp.concatenate([jnp.zeros((1,), jnp.int32), aligned[:-1]])
+    adelta = aligned - aprev
+    # empty tiles share tile_start with the next tile; scatter-ADD
+    # accumulates their deltas onto the shared position, keeping the
+    # telescoping sum intact
+    abuf = jnp.zeros((S,), jnp.int32).at[tile_start[:-1]].add(adelta, mode="drop")
+    aligned_i = jnp.cumsum(abuf)
 
+    keep = (st < num_tiles) & (rank < tile_capacity)
     S_pad = padded_slots(instance_capacity, num_tiles)
-    dest = jnp.where(keep, block_start[safe_tile] * 128 + rank, S_pad)
+    dest = jnp.where(keep, aligned_i + rank, S_pad)
     inst_gauss = jnp.full((S_pad,), -1, jnp.int32)
-    inst_gauss = inst_gauss.at[dest].set(
-        jnp.where(keep, sorted_gauss, -1), mode="drop"
-    )
+    inst_gauss = inst_gauss.at[dest].set(jnp.where(keep, sg, -1), mode="drop")
 
     instance_overflow = jnp.maximum(total - instance_capacity, 0)
     tile_overflow = jnp.sum(jnp.maximum(counts_all - tile_capacity, 0))

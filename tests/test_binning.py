@@ -1,0 +1,100 @@
+"""Binning consistency: the instance-major packed layout must encode
+exactly the same per-tile depth-ordered lists as the dense table."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from street_gaussians_tpu.ops import binning as B
+from street_gaussians_tpu.ops.preprocess import GaussianScreenData
+
+
+def make_screen(n, grid_x, grid_y, seed=0, frac_valid=0.8, max_rect=4):
+    rng = np.random.default_rng(seed)
+    valid = rng.uniform(size=n) < frac_valid
+    x0 = rng.integers(0, grid_x, n)
+    y0 = rng.integers(0, grid_y, n)
+    w = rng.integers(1, max_rect + 1, n)
+    h = rng.integers(1, max_rect + 1, n)
+    x1 = np.minimum(x0 + w, grid_x)
+    y1 = np.minimum(y0 + h, grid_y)
+    tiles = (x1 - x0) * (y1 - y0)
+    tiles = np.where(valid, tiles, 0)
+    valid = tiles > 0
+    return GaussianScreenData(
+        mean2d=jnp.zeros((n, 2)),
+        depth=jnp.asarray(rng.uniform(1, 50, n).astype(np.float32)),
+        conic=jnp.zeros((n, 3)),
+        radius=jnp.asarray(valid.astype(np.float32)),
+        rgb=jnp.zeros((n, 3)),
+        opacity=jnp.zeros((n,)),
+        valid=jnp.asarray(valid),
+        rect_min=jnp.asarray(np.stack([x0, y0], -1).astype(np.int32)),
+        rect_max=jnp.asarray(np.stack([x1, y1], -1).astype(np.int32)),
+        tiles_touched=jnp.asarray(tiles.astype(np.int32)),
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("tile_capacity", [8, 64])
+def test_instance_binning_matches_table(seed, tile_capacity):
+    grid_x, grid_y = 6, 5
+    screen = make_screen(300, grid_x, grid_y, seed=seed)
+    IC = 2 ** 13
+    table = B.bin_gaussians(screen, grid_x, grid_y, IC, tile_capacity)
+    inst = B.bin_gaussians_instances(screen, grid_x, grid_y, IC, tile_capacity)
+
+    assert int(table.num_instances) == int(inst.num_instances)
+    assert int(table.overflow) == int(inst.overflow)
+    np.testing.assert_array_equal(
+        np.asarray(table.tile_count), np.asarray(inst.tile_count)
+    )
+
+    ig = np.asarray(inst.inst_gauss)
+    bs = np.asarray(inst.block_start)
+    tc = np.asarray(inst.tile_count)
+    tg = np.asarray(table.tile_gauss)
+    for t in range(grid_x * grid_y):
+        start = bs[t] * 128
+        got = ig[start : start + tc[t]]
+        want = tg[t, : tc[t]]
+        np.testing.assert_array_equal(got, want)
+        # padding slots of the run are empty
+        nb = (tc[t] + 127) // 128
+        pad = ig[start + tc[t] : start + nb * 128]
+        assert (pad == -1).all()
+
+
+def test_empty_scene():
+    screen = make_screen(50, 4, 4, frac_valid=0.0)
+    inst = B.bin_gaussians_instances(screen, 4, 4, 2 ** 10, 16)
+    assert int(inst.num_instances) == 0
+    assert (np.asarray(inst.tile_count) == 0).all()
+    assert (np.asarray(inst.inst_gauss) == -1).all()
+
+
+def test_single_tile_overflow():
+    """All gaussians in one tile, count > capacity: nearest (by depth)
+    are kept, farthest dropped."""
+    n = 40
+    rng = np.random.default_rng(3)
+    depth = rng.uniform(1, 100, n).astype(np.float32)
+    screen = GaussianScreenData(
+        mean2d=jnp.zeros((n, 2)),
+        depth=jnp.asarray(depth),
+        conic=jnp.zeros((n, 3)),
+        radius=jnp.ones((n,)),
+        rgb=jnp.zeros((n, 3)),
+        opacity=jnp.zeros((n,)),
+        valid=jnp.ones((n,), bool),
+        rect_min=jnp.zeros((n, 2), jnp.int32),
+        rect_max=jnp.ones((n, 2), jnp.int32),
+        tiles_touched=jnp.ones((n,), jnp.int32),
+    )
+    cap = 16
+    inst = B.bin_gaussians_instances(screen, 1, 1, 2 ** 10, cap)
+    assert int(inst.tile_count[0]) == cap
+    kept = np.asarray(inst.inst_gauss[:cap])
+    order = np.argsort(depth, kind="stable")
+    np.testing.assert_array_equal(kept, order[:cap])
+    assert int(inst.overflow) == n - cap
