@@ -9,7 +9,7 @@ from __future__ import annotations
 import json
 import math
 import os
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import cv2
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ entirely in numpy so CPU tests can exercise the full train path.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -22,8 +22,6 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-import jax.numpy as jnp
-
 from street_gaussians_tpu.utils.camera import CameraJax
 
 host = "127.0.0.1"

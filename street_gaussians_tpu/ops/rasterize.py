@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from street_gaussians_tpu.ops import binning as binning_lib
 from street_gaussians_tpu.ops import tile_raster
 from street_gaussians_tpu.ops.preprocess import TILE, GaussianScreenData
-from street_gaussians_tpu.ops.tile_raster import PAYLOAD_HEADER, payload_rows, tile_blend
+from street_gaussians_tpu.ops.tile_raster import payload_rows, tile_blend
 
 
 @dataclasses.dataclass(frozen=True)

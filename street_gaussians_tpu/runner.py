@@ -8,12 +8,11 @@ only feeds cameras, triggers densify/reset at their intervals, and logs.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import random
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -82,9 +82,17 @@ def ssim(
     mu1 = conv(pred)
     mu2 = conv(gt)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = conv(pred * pred) - mu1_sq
-    sigma2_sq = conv(gt * gt) - mu2_sq
+    # E[x^2] - mu^2 cancels catastrophically in f32 on near-constant
+    # patches and can go NEGATIVE, making the denominator tiny and
+    # SSIM >> 1 (observed blowing the train loss to -11). Clamping the
+    # variances at 0 and Cauchy-Schwarz-bounding the covariance is a
+    # no-op in exact arithmetic.
+    sigma1_sq = jnp.maximum(conv(pred * pred) - mu1_sq, 0.0)
+    sigma2_sq = jnp.maximum(conv(gt * gt) - mu2_sq, 0.0)
     sigma12 = conv(pred * gt) - mu12
+    # stop_gradient: the bound is a numerical guard (sqrt'(0) = inf)
+    bound = jax.lax.stop_gradient(jnp.sqrt(sigma1_sq * sigma2_sq + 1e-12))
+    sigma12 = jnp.clip(sigma12, -bound, bound)
 
     c1 = 0.01 ** 2
     c2 = 0.03 ** 2
