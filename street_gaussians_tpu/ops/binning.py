@@ -38,11 +38,21 @@ from street_gaussians_tpu.ops.preprocess import GaussianScreenData
 
 class InstanceBinning(NamedTuple):
     """Instance-major binning (for ops/tile_raster2.py): each tile owns a
-    contiguous 128-aligned run of slots in one packed instance array."""
+    contiguous 128-aligned run of slots in one packed instance array.
+
+    The rank_* fields describe the PRE-SORT instance layout (instances
+    of one gaussian are contiguous there), which lets the payload
+    gather's VJP reduce per-gaussian gradients with a cumsum +
+    boundary gathers instead of a contended scatter-add
+    (ops/rasterize.py gather_payload_rows)."""
 
     inst_gauss: jnp.ndarray  # [S_pad] gaussian index, -1 for empty slots
+    inst_src: jnp.ndarray  # [S_pad] pre-sort instance index, -1 empty
     tile_count: jnp.ndarray  # [num_tiles] valid instances per tile
     block_start: jnp.ndarray  # [num_tiles] first 128-slot block per tile
+    rank_offs: jnp.ndarray  # [N] pre-sort range start per depth rank
+    rank_cnt: jnp.ndarray  # [N] range length per depth rank
+    rank_order: jnp.ndarray  # [N] depth rank -> original gaussian index
     num_instances: jnp.ndarray  # scalar: total generated (pre-drop)
     overflow: jnp.ndarray  # scalar: dropped instances
 
@@ -188,6 +198,7 @@ def bin_gaussians_instances(
     grid_y: int,
     instance_capacity: int,
     tile_capacity: int,
+    with_src_index: bool = False,
 ) -> InstanceBinning:
     """Instance-major variant (tile_raster v2): one packed slot array,
     per-tile contiguous 128-aligned runs.
@@ -246,8 +257,18 @@ def bin_gaussians_instances(
     ).astype(jnp.int32)
     gauss_id = jnp.where(inst_valid, gauss_i, -1).astype(jnp.int32)
 
-    # ---- stable sort by tile (depth order preserved within tiles) ----
-    st, sg = jax.lax.sort((tile_id, gauss_id), num_keys=1, is_stable=True)
+    # ---- stable sort by tile (depth order preserved within tiles).
+    # with_src_index additionally carries the pre-sort instance index
+    # (for gather_payload_rows' structured VJP — costs a third sorted
+    # array, so off by default) ----
+    if with_src_index:
+        src_idx = jnp.where(inst_valid, s, -1)
+        st, sg, ss = jax.lax.sort(
+            (tile_id, gauss_id, src_idx), num_keys=1, is_stable=True
+        )
+    else:
+        st, sg = jax.lax.sort((tile_id, gauss_id), num_keys=1, is_stable=True)
+        ss = None
 
     # ---- per-tile starts from sort boundaries (no segment_sum) ----
     prev_t = jnp.concatenate([jnp.full((1,), -1, jnp.int32), st[:-1]])
@@ -282,15 +303,34 @@ def bin_gaussians_instances(
     keep = (st < num_tiles) & (rank < tile_capacity)
     S_pad = padded_slots(instance_capacity, num_tiles)
     dest = jnp.where(keep, aligned_i + rank, S_pad)
-    inst_gauss = jnp.full((S_pad,), -1, jnp.int32)
-    inst_gauss = inst_gauss.at[dest].set(jnp.where(keep, sg, -1), mode="drop")
+    if with_src_index:
+        packed = jnp.full((S_pad, 2), -1, jnp.int32)
+        packed = packed.at[dest].set(
+            jnp.stack(
+                [jnp.where(keep, sg, -1), jnp.where(keep, ss, -1)], axis=-1
+            ),
+            mode="drop",
+        )
+        inst_gauss_arr = packed[:, 0]
+        inst_src_arr = packed[:, 1]
+    else:
+        inst_gauss_arr = (
+            jnp.full((S_pad,), -1, jnp.int32)
+            .at[dest]
+            .set(jnp.where(keep, sg, -1), mode="drop")
+        )
+        inst_src_arr = jnp.zeros((0,), jnp.int32)
 
     instance_overflow = jnp.maximum(total - instance_capacity, 0)
     tile_overflow = jnp.sum(jnp.maximum(counts_all - tile_capacity, 0))
     return InstanceBinning(
-        inst_gauss=inst_gauss,
+        inst_gauss=inst_gauss_arr,
+        inst_src=inst_src_arr,
         tile_count=clamped,
         block_start=block_start,
+        rank_offs=offs.astype(jnp.int32),
+        rank_cnt=cnt.astype(jnp.int32),
+        rank_order=order.astype(jnp.int32),
         num_instances=total,
         overflow=instance_overflow + tile_overflow,
     )

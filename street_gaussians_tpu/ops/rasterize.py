@@ -42,6 +42,74 @@ def _grid_dims(H: int, W: int):
     return (W + TILE - 1) // TILE, (H + TILE - 1) // TILE
 
 
+import functools
+
+import numpy as _np
+
+
+def _f0(x):
+    """Zero cotangent for integer primals."""
+    return _np.zeros(x.shape, jax.dtypes.float0)
+
+
+@jax.custom_vjp
+def gather_payload_rows(src, inst_gauss, inst_src, rank_offs, rank_cnt, rank_order):
+    """Per-slot row gather of the [N, C] payload source with a
+    STRUCTURED transpose.
+
+    The plain VJP of this gather is a scatter-add of millions of rows
+    into N slots (~5-way contention — hundreds of ms on TPU). But in the
+    PRE-SORT instance order, every gaussian's instances are contiguous
+    (ranges rank_offs/rank_cnt per depth rank), so the backward instead
+    (1) scatter-SETs slot cotangents to their unique pre-sort positions,
+    (2) cumsums once, (3) reduces each range by two boundary row
+    gathers, (4) un-permutes by rank_order. Deterministic and
+    contention-free — the moral replacement for the CUDA backward's
+    atomicAdd accumulation (ref: backward.cu:568-638).
+    """
+    valid = inst_gauss >= 0
+    safe = jnp.maximum(inst_gauss, 0)
+    return jnp.where(valid[:, None], jnp.take(src, safe, axis=0), 0.0)
+
+
+def _gpr_fwd(src, inst_gauss, inst_src, rank_offs, rank_cnt, rank_order):
+    out = gather_payload_rows(
+        src, inst_gauss, inst_src, rank_offs, rank_cnt, rank_order
+    )
+    return out, (src.shape[0], inst_gauss, inst_src, rank_offs, rank_cnt, rank_order)
+
+
+def _gpr_bwd(res, d_out):
+    n, inst_gauss, inst_src, rank_offs, rank_cnt, rank_order = res
+    S_pad, C = d_out.shape
+    # 1. slot cotangents -> unique pre-sort positions (scatter-SET)
+    pos = jnp.where(inst_src >= 0, inst_src, S_pad)
+    d_pre = jnp.zeros((S_pad + 1, C), d_out.dtype).at[pos].set(d_out, mode="drop")
+    # 2. one cumsum over the pre-sort axis
+    cs = jnp.cumsum(d_pre[:-1], axis=0)  # [S_pad, C]
+    # 3. per-rank range sums via two boundary row gathers
+    end = jnp.clip(rank_offs + rank_cnt - 1, 0, S_pad - 1)
+    lo_idx = jnp.clip(rank_offs - 1, 0, S_pad - 1)
+    hi = jnp.take(cs, end, axis=0)
+    lo = jnp.where(
+        (rank_offs > 0)[:, None], jnp.take(cs, lo_idx, axis=0), 0.0
+    )
+    seg = jnp.where((rank_cnt > 0)[:, None], hi - lo, 0.0)  # [N, C]
+    # 4. un-permute depth ranks back to original gaussian order
+    d_src = jnp.zeros((n, C), d_out.dtype).at[rank_order].set(seg)
+    return (
+        d_src,
+        _f0(inst_gauss),
+        _f0(inst_src),
+        _f0(rank_offs),
+        _f0(rank_cnt),
+        _f0(rank_order),
+    )
+
+
+gather_payload_rows.defvjp(_gpr_fwd, _gpr_bwd)
+
+
 def rasterize(
     screen: GaussianScreenData,
     H: int,
@@ -81,10 +149,6 @@ def rasterize(
         bins = binning_lib.bin_gaussians_instances(
             screen, grid_x, grid_y, config.instance_capacity, config.tile_capacity
         )
-        ids = bins.inst_gauss  # [S_pad]
-        valid = ids >= 0
-        safe = jnp.maximum(ids, 0)
-
         # ONE consolidated [N, c_pad] source + one row gather: XLA lowers
         # separate per-channel gathers fused into the surrounding graph
         # as scalar loops (~100x slower on TPU)
@@ -101,6 +165,12 @@ def rasterize(
         # src is already in that order by construction
         if src.shape[1] < c_pad:
             src = jnp.pad(src, ((0, 0), (0, c_pad - src.shape[1])))
+        # NOTE: gather_payload_rows offers a structured (cumsum-reduceat)
+        # VJP, but its [S, 16] row ops are lane-limited on TPU and
+        # measured SLOWER than the plain gather's scatter-add transpose;
+        # the naive path stays (see docs/perf_journal.md)
+        valid = bins.inst_gauss >= 0
+        safe = jnp.maximum(bins.inst_gauss, 0)
         gathered = jnp.where(
             valid[:, None], jnp.take(src, safe, axis=0), 0.0
         )  # [S_pad, c_pad]

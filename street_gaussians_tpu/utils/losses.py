@@ -64,18 +64,19 @@ def ssim(
         gt = jnp.where(m, gt, 0.0)
     C = pred.shape[-1]
     win1d = _gaussian_window(window_size, 1.5)
-    window = jnp.outer(win1d, win1d)  # [k, k]
-    kernel = jnp.broadcast_to(window[None, None], (C, 1, window_size, window_size))
+    k_row = jnp.broadcast_to(win1d[None, None, None, :], (C, 1, 1, window_size))
+    k_col = jnp.broadcast_to(win1d[None, None, :, None], (C, 1, window_size, 1))
 
     def conv(img):
-        # depthwise conv: img [H, W, C] -> [H, W, C]
+        # separable depthwise conv (the gaussian window is an outer
+        # product): 2 x 11 taps instead of 121 — ~5x cheaper, identical
+        # math up to f32 association
         x = img.transpose(2, 0, 1)[None]  # [1, C, H, W]
         y = jax.lax.conv_general_dilated(
-            x,
-            kernel,
-            window_strides=(1, 1),
-            padding="SAME",
-            feature_group_count=C,
+            x, k_row, (1, 1), "SAME", feature_group_count=C
+        )
+        y = jax.lax.conv_general_dilated(
+            y, k_col, (1, 1), "SAME", feature_group_count=C
         )
         return y[0].transpose(1, 2, 0)
 

@@ -98,3 +98,39 @@ def test_single_tile_overflow():
     order = np.argsort(depth, kind="stable")
     np.testing.assert_array_equal(kept, order[:cap])
     assert int(inst.overflow) == n - cap
+
+
+def test_gather_payload_vjp_matches_naive():
+    """The structured cumsum-reduceat backward of gather_payload_rows
+    must equal the naive gather's scatter-add VJP."""
+    import jax
+    from street_gaussians_tpu.ops.rasterize import gather_payload_rows
+
+    grid_x, grid_y = 5, 4
+    screen = make_screen(200, grid_x, grid_y, seed=7)
+    bins = B.bin_gaussians_instances(screen, grid_x, grid_y, 2 ** 12, 32, with_src_index=True)
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.normal(size=(200, 16)).astype(np.float32))
+    dloss_w = jnp.asarray(
+        rng.normal(size=(bins.inst_gauss.shape[0], 16)).astype(np.float32)
+    )
+
+    def loss_structured(src):
+        g = gather_payload_rows(
+            src, bins.inst_gauss, bins.inst_src,
+            bins.rank_offs, bins.rank_cnt, bins.rank_order,
+        )
+        return jnp.sum(g * dloss_w)
+
+    def loss_naive(src):
+        valid = bins.inst_gauss >= 0
+        safe = jnp.maximum(bins.inst_gauss, 0)
+        g = jnp.where(valid[:, None], jnp.take(src, safe, axis=0), 0.0)
+        return jnp.sum(g * dloss_w)
+
+    v1 = float(loss_structured(src))
+    v2 = float(loss_naive(src))
+    np.testing.assert_allclose(v1, v2, rtol=1e-5)
+    g1 = jax.grad(loss_structured)(src)
+    g2 = jax.grad(loss_naive)(src)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
