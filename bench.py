@@ -1,4 +1,16 @@
-"""Single-chip benchmark: full-model train iters/sec at Waymo scale.
+"""Benchmark: full-model train iters/sec at Waymo scale.
+
+Default: single-chip train throughput (the driver's metric). Scaling
+modes (VERDICT r1 item 4 — the measurement harness must exist even on
+one chip so a real slice gives numbers immediately):
+
+  python bench.py --mesh data=N   # camera-DP throughput, batch=N over
+                                  # an N-device 'data' mesh (N<=devices)
+  python bench.py --mesh tile=N   # row-sharded single-render latency
+                                  # across N devices
+
+Each prints its own ONE-line JSON with the mesh shape in the metric
+name. Expected scaling model: see BASELINE.md §scaling.
 
 Workload mirrors configs/example/waymo_train_002.yaml (BASELINE.md): a
 1600x1064 camera (Waymo native capped at 1600 px width), a composite
@@ -25,6 +37,13 @@ A100_ITERS_PER_SEC_PROVISIONAL = 10.0
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh", default=None, help="data=N or tile=N")
+    ap.add_argument("--iters", type=int, default=None)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -81,6 +100,25 @@ def main():
         interpret=not on_tpu,
     )
     state = train_lib.init_train_state(params, scene.aux)
+
+    # ---- scaling modes ----
+    if args.mesh:
+        kind, _, n = args.mesh.partition("=")
+        n = int(n)
+        ndev = len(jax.devices())
+        if n > ndev:
+            print(
+                f"[bench] requested {kind}={n} but only {ndev} devices; "
+                f"running {kind}={ndev}",
+                file=sys.stderr,
+            )
+            n = ndev
+        run_mesh_bench(
+            kind, n, cfg, scene, params, opts, H, W,
+            iters=args.iters or iters, warmup=warmup,
+        )
+        return
+
     step_fn = train_lib.make_train_step(cfg, scene.table, scene.pose_data, opts)
 
     # ground truth: one rendered target per camera (same jitted render
@@ -125,7 +163,9 @@ def main():
     for i in range(iters):
         key, sub = jax.random.split(key)
         state, scalars = step_fn(state, frame, gt, sub)
-    jax.block_until_ready(state.params.gaussians.xyz)
+    # scalar fetch: forces a real device->host roundtrip (through the
+    # axon tunnel, block_until_ready alone may not wait for execution)
+    float(jnp.sum(state.params.gaussians.xyz))
     dt = time.time() - t0
     iters_per_sec = iters / dt
     print(
@@ -139,7 +179,7 @@ def main():
     n_render = iters
     for i in range(n_render):
         r = render_only(state.params, state.aux, scene.frames[i % len(scene.frames)])
-    jax.block_until_ready(r)
+    float(jnp.sum(r))
     fps = n_render / (time.time() - t0)
     print(f"[bench] render FPS {fps:.1f}", file=sys.stderr)
 
@@ -153,6 +193,107 @@ def main():
             }
         )
     )
+
+
+def run_mesh_bench(kind, n, cfg, scene, params, opts, H, W, iters, warmup):
+    import jax
+    import jax.numpy as jnp
+
+    from street_gaussians_tpu import train_lib
+    from street_gaussians_tpu.train_lib import GroundTruth
+
+    frame = scene.frames[2]
+    gt1 = GroundTruth(
+        image=jnp.zeros((H, W, 3)),
+        mask=jnp.ones((H, W, 1), bool),
+        sky_mask=jnp.zeros((H, W, 1), bool),
+        lidar_depth=jnp.ones((H, W)) * 10.0,
+        obj_bound=jnp.zeros((H, W, 1), bool),
+        sky_scale=jnp.ones(()),
+    )
+
+    if kind == "data":
+        from street_gaussians_tpu.parallel.dp import (
+            make_data_parallel_train_step,
+            make_mesh,
+            stack_frames,
+            stack_gts,
+        )
+
+        mesh = make_mesh(n)
+        dp_fn = make_data_parallel_train_step(
+            cfg, scene.table, scene.pose_data, opts, mesh
+        )
+        frames_b = stack_frames(
+            [scene.frames[i % len(scene.frames)] for i in range(n)]
+        )
+        gts_b = stack_gts([gt1] * n)
+        state = train_lib.init_train_state(params, scene.aux)
+        key = jax.random.PRNGKey(0)
+        for _ in range(warmup):
+            key, sub = jax.random.split(key)
+            state, _ = dp_fn(state, frames_b, gts_b, sub)
+        float(jnp.sum(state.params.gaussians.xyz[:1]))
+        t0 = time.time()
+        for _ in range(iters):
+            key, sub = jax.random.split(key)
+            state, _ = dp_fn(state, frames_b, gts_b, sub)
+        float(jnp.sum(state.params.gaussians.xyz[:1]))
+        dt = time.time() - t0
+        steps_per_sec = iters / dt
+        cams_per_sec = steps_per_sec * n
+        print(
+            f"[bench] DP data={n}: {steps_per_sec:.2f} steps/s = "
+            f"{cams_per_sec:.2f} cameras/s",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": f"train_cameras_per_sec_dp{n}_1600px",
+                    "value": round(cams_per_sec, 3),
+                    "unit": "cameras/s",
+                    "vs_baseline": round(
+                        cams_per_sec / A100_ITERS_PER_SEC_PROVISIONAL, 3
+                    ),
+                }
+            )
+        )
+    elif kind == "tile":
+        from street_gaussians_tpu.parallel.tiles import (
+            make_row_sharded_render,
+            make_tile_mesh,
+        )
+
+        mesh = make_tile_mesh(n)
+        render = make_row_sharded_render(
+            scene.table, scene.pose_data, opts, mesh
+        )
+        out = render(params, scene.aux, frame)
+        float(jnp.sum(out["rgb"][:1, :1]))
+        t0 = time.time()
+        for i in range(iters):
+            out = render(
+                params, scene.aux, scene.frames[i % len(scene.frames)]
+            )
+        float(jnp.sum(out["rgb"][:1, :1]))
+        dt = (time.time() - t0) / iters
+        print(
+            f"[bench] tile-sharded render tile={n}: {dt*1000:.1f} ms/frame",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": f"render_ms_tileshard{n}_1600px",
+                    "value": round(dt * 1000, 2),
+                    "unit": "ms",
+                    "vs_baseline": 0.0,
+                }
+            )
+        )
+    else:
+        raise SystemExit(f"unknown mesh kind {kind!r} (use data=N or tile=N)")
 
 
 if __name__ == "__main__":

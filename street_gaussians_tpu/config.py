@@ -189,6 +189,15 @@ def default_config() -> Config:
                 # the CUDA code grows buffers dynamically)
                 "tile_capacity": 1024,
                 "instance_capacity": 2097152,
+                # double the exceeded capacity when overflow persists
+                # (bounded recompiles; see runner.py overflow watchdog)
+                "auto_grow_capacity": True,
+            },
+            # SIBR remote viewer bridge (ref: lib/config/config.py:12-13)
+            "viewer": {
+                "enabled": False,
+                "ip": "127.0.0.1",
+                "port": 6009,
             },
             "capacity": {
                 # fixed-capacity growth headroom (TPU-only knobs)

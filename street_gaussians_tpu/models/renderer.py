@@ -292,6 +292,7 @@ def render_frame(
     compose_sky: bool = True,
     mean2d_offset: Optional[jnp.ndarray] = None,
     absgrad_dummy: Optional[jnp.ndarray] = None,
+    row_shard=None,
 ) -> Dict[str, jnp.ndarray]:
     """Full render of one camera -> dict rgb/acc/depth/T/semantic/radii...
 
@@ -331,6 +332,20 @@ def render_frame(
     if mean2d_offset is not None:
         screen = screen._replace(mean2d=screen.mean2d + mean2d_offset)
 
+    # --- row(tile)-sharded rendering: restrict to this device's band of
+    # tile rows (parallel/tiles.py). row_shard = (tile_row_start
+    # [traced], num_tile_rows [static]); outputs then cover
+    # num_tile_rows*16 image rows starting at tile_row_start*16. ---
+    H_out = cam.H
+    row_px0 = None
+    if row_shard is not None:
+        from street_gaussians_tpu.ops.preprocess import clip_screen_to_rows
+
+        tile_row_start, num_tile_rows = row_shard
+        screen = clip_screen_to_rows(screen, tile_row_start, num_tile_rows)
+        H_out = num_tile_rows * 16
+        row_px0 = tile_row_start * 16
+
     # extra blend channels: normals first, then semantics (the
     # reference's packing order, street_gaussian_renderer.py:206-227)
     extras = []
@@ -343,7 +358,7 @@ def render_frame(
     bg = jnp.ones(3, jnp.float32) if opts.white_background else jnp.zeros(3, jnp.float32)
     out = rasterize(
         screen,
-        cam.H,
+        H_out,
         cam.W,
         bg_color=bg,
         extra_features=extra_features,
@@ -361,11 +376,14 @@ def render_frame(
         if opts.mode == "train" and key is not None:
             jitter = (
                 jax.random.uniform(
-                    jax.random.fold_in(key, 1), (cam.H, cam.W, 2)
+                    jax.random.fold_in(key, 1), (H_out, cam.W, 2)
                 )
                 - 0.5
             )
-        sky_rgb = render_sky(params.sky, cam, jitter=jitter)
+        sky_rgb = render_sky(
+            params.sky, cam, jitter=jitter, interpret=opts.interpret,
+            row_start=row_px0, num_rows=H_out if row_shard is not None else None,
+        )
         out["rgb"] = out["rgb"] + sky_rgb * out["T"][..., None]
 
     # --- color correction (street_gaussian_renderer.py:113-114) ---

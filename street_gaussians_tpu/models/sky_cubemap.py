@@ -19,12 +19,75 @@ with u, v in [-1, 1] across the face.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from street_gaussians_tpu.utils.camera import CameraJax, camera_rays
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bilinear_taps(flat, idx4, w4, interpret=False):
+    """sum_t w4[..., t] * flat[idx4[..., t]] — 4-tap bilinear lookup of
+    a [T, 3] table with a SCATTER-FREE transpose.
+
+    The plain VJP is a 4-way scatter-add of ~1.1M pixel cotangents into
+    the [6*R*R, 3] cubemap (measured ~270 ms at 1280x880/R=1024 — by far
+    the most expensive op of the whole train step). The structured
+    backward sorts (texel, w*d_rgb) entries by texel id and reduces them
+    with the same banded-matmul segment sum as the rasterizer payload
+    gradients (ops/segsum.py). Weight/direction cotangents are
+    intentionally zero: rays come from the fixed camera and the random
+    jitter, neither learnable (the reference's nvdiffrast uv-gradients
+    equally die at non-learnable rays, lib/models/sky_cubemap.py:99-119).
+    """
+    acc = 0.0
+    for t in range(4):
+        acc = acc + w4[..., t:t + 1] * jnp.take(flat, idx4[..., t], axis=0)
+    return acc
+
+
+def _bt_fwd(flat, idx4, w4, interpret):
+    return _bilinear_taps(flat, idx4, w4, interpret), (flat.shape[0], idx4, w4)
+
+
+def _bt_bwd(interpret, res, d_out):
+    from street_gaussians_tpu.ops import segsum as segsum_lib
+
+    T, idx4, w4 = res
+    C = d_out.shape[-1]
+    keys = idx4.reshape(-1)  # [4P]
+    vals = (w4[..., None] * d_out[..., None, :]).reshape(-1, C)  # [4P, 3]
+    cap = 2048
+    L = _round_up(keys.shape[0], cap)
+    keys = jnp.pad(keys, (0, L - keys.shape[0]), constant_values=segsum_lib.BIG)
+    vals = jnp.pad(vals, ((0, L - vals.shape[0]), (0, 0)))
+    srt = jax.lax.sort(
+        (keys, *(vals[:, c] for c in range(C))), num_keys=1, is_stable=False
+    )
+    skeys = srt[0]
+    svals = jnp.stack(srt[1:], axis=0)  # [C, L]
+    group = 512
+    Tp = _round_up(T, group)
+    texel = jnp.arange(Tp, dtype=jnp.int32)
+    d_flat = segsum_lib.segment_rowsum(
+        svals, skeys, texel, texel + 1, cap=cap, group=group,
+        interpret=interpret,
+    )[:T]
+    return (
+        d_flat,
+        np.zeros(idx4.shape, jax.dtypes.float0),
+        jnp.zeros_like(w4),
+    )
+
+
+_bilinear_taps.defvjp(_bt_fwd, _bt_bwd)
 
 
 @jax.tree_util.register_dataclass
@@ -42,9 +105,12 @@ def init_sky(resolution: int = 1024, white_background: bool = True) -> SkyParams
     )
 
 
-def sample_cubemap(cubemap: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+def sample_cubemap(
+    cubemap: jnp.ndarray, dirs: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
     """Bilinear cube sampling. dirs [..., 3] (need not be normalized);
-    returns [..., 3]."""
+    returns [..., 3]. `interpret` runs the backward's segment-sum kernel
+    in Pallas interpreter mode (CPU tests)."""
     R = cubemap.shape[1]
     x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
     ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
@@ -81,27 +147,33 @@ def sample_cubemap(cubemap: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     y1i = jnp.clip(y0i + 1, 0, R - 1)
 
     # flattened linear-index gathers (a single [6*R*R, 3] operand row
-    # gather lowers far better on TPU than 3-axis advanced indexing)
+    # gather lowers far better on TPU than 3-axis advanced indexing);
+    # the 4 taps run through a custom-VJP core whose backward is a
+    # sort + segment-sum instead of a scatter-add
     flat = cubemap.reshape(-1, 3)
     base = face * (R * R)
-    c00 = jnp.take(flat, base + y0i * R + x0i, axis=0)
-    c01 = jnp.take(flat, base + y0i * R + x1i, axis=0)
-    c10 = jnp.take(flat, base + y1i * R + x0i, axis=0)
-    c11 = jnp.take(flat, base + y1i * R + x1i, axis=0)
-    fx = fx[..., None]
-    fy = fy[..., None]
-    return (
-        c00 * (1 - fx) * (1 - fy)
-        + c01 * fx * (1 - fy)
-        + c10 * (1 - fx) * fy
-        + c11 * fx * fy
+    idx4 = jnp.stack(
+        [
+            base + y0i * R + x0i,
+            base + y0i * R + x1i,
+            base + y1i * R + x0i,
+            base + y1i * R + x1i,
+        ],
+        axis=-1,
     )
+    w4 = jnp.stack(
+        [(1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy], axis=-1
+    )
+    return _bilinear_taps(flat, idx4, w4, interpret)
 
 
 def render_sky(
     params: SkyParams,
     cam: CameraJax,
     jitter: jnp.ndarray | None = None,
+    interpret: bool = False,
+    row_start=None,
+    num_rows: int | None = None,
 ) -> jnp.ndarray:
     """Per-pixel sky color [H, W, 3], clamped to [0, 1].
 
@@ -111,8 +183,8 @@ def render_sky(
     full-image gather is cheaper than a dynamic mask, and compositing
     multiplies by (1 - acc) anyway.
     """
-    dirs = camera_rays(cam, jitter=jitter)
-    return jnp.clip(sample_cubemap(params.cubemap, dirs), 0.0, 1.0)
+    dirs = camera_rays(cam, jitter=jitter, row_start=row_start, num_rows=num_rows)
+    return jnp.clip(sample_cubemap(params.cubemap, dirs, interpret), 0.0, 1.0)
 
 
 # ---------------------------------------------------------------------------

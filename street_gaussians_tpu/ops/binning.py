@@ -40,21 +40,18 @@ class InstanceBinning(NamedTuple):
     """Instance-major binning (for ops/tile_raster2.py): each tile owns a
     contiguous 128-aligned run of slots in one packed instance array.
 
-    The rank_* fields describe the PRE-SORT instance layout (instances
-    of one gaussian are contiguous there), which lets the payload
-    gather's VJP reduce per-gaussian gradients with a cumsum +
-    boundary gathers instead of a contended scatter-add
-    (ops/rasterize.py gather_payload_rows)."""
+    `inst_gauss` doubles as the backward's reduction key: the payload
+    gather's VJP sorts the per-instance gradient rows by gaussian id and
+    reduces each id-range with a banded-matmul segment sum
+    (ops/segsum.py) instead of a contended scatter-add."""
 
     inst_gauss: jnp.ndarray  # [S_pad] gaussian index, -1 for empty slots
-    inst_src: jnp.ndarray  # [S_pad] pre-sort instance index, -1 empty
     tile_count: jnp.ndarray  # [num_tiles] valid instances per tile
     block_start: jnp.ndarray  # [num_tiles] first 128-slot block per tile
-    rank_offs: jnp.ndarray  # [N] pre-sort range start per depth rank
-    rank_cnt: jnp.ndarray  # [N] range length per depth rank
-    rank_order: jnp.ndarray  # [N] depth rank -> original gaussian index
     num_instances: jnp.ndarray  # scalar: total generated (pre-drop)
-    overflow: jnp.ndarray  # scalar: dropped instances
+    overflow: jnp.ndarray  # scalar: dropped instances (either cause)
+    overflow_instance: jnp.ndarray  # scalar: dropped by instance_capacity
+    overflow_tile: jnp.ndarray  # scalar: dropped by tile_capacity
 
 
 def padded_slots(instance_capacity: int, num_tiles: int) -> int:
@@ -72,6 +69,8 @@ class TileBinning(NamedTuple):
     # scalar diagnostics
     num_instances: jnp.ndarray  # total instances generated (pre-drop)
     overflow: jnp.ndarray  # instances dropped (instance or tile capacity)
+    overflow_instance: jnp.ndarray  # dropped by instance_capacity
+    overflow_tile: jnp.ndarray  # dropped by tile_capacity
 
 
 def _fill_forward(values_by_rank, offs, cnt, instance_capacity):
@@ -189,6 +188,8 @@ def bin_gaussians(
         tile_count=tile_count,
         num_instances=total,
         overflow=instance_overflow + tile_overflow,
+        overflow_instance=instance_overflow,
+        overflow_tile=tile_overflow,
     )
 
 
@@ -198,77 +199,71 @@ def bin_gaussians_instances(
     grid_y: int,
     instance_capacity: int,
     tile_capacity: int,
-    with_src_index: bool = False,
 ) -> InstanceBinning:
     """Instance-major variant (tile_raster v2): one packed slot array,
     per-tile contiguous 128-aligned runs.
 
     Engineered around TPU scatter/gather costs: per-gaussian values
-    expand to per-instance through ONE multi-channel delta-scatter +
-    cumsum; after the stable tile sort, per-tile quantities come from
-    boundary detection + cummax/small scatters — no per-instance
-    gathers, no segment_sum over contended buckets.
+    expand to per-instance through per-column delta-scatters + one
+    cumsum (scatters of >=2-wide rows hit a slow path: a [S,2] row
+    scatter measured 173 ms where two 1-column scatters cost 26 ms);
+    per-tile depth order comes from an LSD two-pass radix — stable sort
+    by depth bits then by tile id, the CUDA 64-bit
+    [tile | float-bits(depth)] key in lax.sort form
+    (ref: rasterizer_impl.cu:70-111, 303-311).
     """
     num_tiles = grid_x * grid_y
     n = screen.depth.shape[0]
     S = instance_capacity
 
-    # ---- depth sort + per-gaussian rect data (one row gather) ----
-    sort_depth = jnp.where(screen.valid, screen.depth, jnp.inf)
-    order = jnp.argsort(sort_depth, stable=True)  # [N]
-    src = jnp.stack(
-        [
-            screen.tiles_touched,
-            screen.rect_min[:, 0],
-            screen.rect_min[:, 1],
-            screen.rect_max[:, 0] - screen.rect_min[:, 0],
-        ],
-        axis=1,
-    )
-    srt = jnp.take(src, order, axis=0)
-    cnt = srt[:, 0]
+    cnt = screen.tiles_touched  # [N] original order, 0 when culled
     offs = jnp.cumsum(cnt) - cnt
     total = offs[-1] + cnt[-1]
 
-    # ---- per-instance expansion: ONE [S, 6] delta scatter + cumsum ----
-    # channels: offs, rminx, rminy, rwidth, gauss-id, started-marker
-    vals = jnp.stack(
-        [offs, srt[:, 1], srt[:, 2], srt[:, 3], order.astype(jnp.int32)], axis=1
-    )  # [N, 5]
-    prev = jnp.concatenate([jnp.zeros((1, 5), vals.dtype), vals[:-1]], axis=0)
-    deltas = jnp.concatenate(
-        [vals - prev, jnp.ones((n, 1), jnp.int32)], axis=1
-    )  # [N, 6]
-    pos = jnp.where(cnt > 0, offs, S)
-    buf = jnp.zeros((S, 6), jnp.int32).at[pos].add(deltas, mode="drop")
-    expanded = jnp.cumsum(buf, axis=0)  # [S, 6]
-    offs_i = expanded[:, 0]
-    rx = expanded[:, 1]
-    ry = expanded[:, 2]
-    rw = jnp.maximum(expanded[:, 3], 1)
-    gauss_i = expanded[:, 4]
-    started = expanded[:, 5]
+    # IEEE-754 bits of positive floats sort like the floats themselves
+    # (all valid depths are > NEAR_Z > 0) — same trick as the CUDA key
+    depth_bits = jax.lax.bitcast_convert_type(screen.depth, jnp.int32)
+
+    # ---- per-instance expansion: per-column delta scatters + cumsum.
+    # Gaussians with cnt == 0 share their successor's offset, so ALL
+    # deltas are scattered (colliding adds telescope to the value of the
+    # last gaussian sharing the position — the one that owns the slot);
+    # only positions beyond capacity are dropped. Column-wise 1-D
+    # scatters: row scatters (>= 2 lanes) take a ~13x slower XLA path.
+    pos = jnp.where(offs < S, offs, S)
+
+    def expand_col(col):
+        prev = jnp.concatenate([jnp.zeros((1,), col.dtype), col[:-1]])
+        buf = jnp.zeros((S,), jnp.int32).at[pos].add(col - prev, mode="drop")
+        return jnp.cumsum(buf)
+
+    offs_i = expand_col(offs)
+    rx = expand_col(screen.rect_min[:, 0])
+    ry = expand_col(screen.rect_min[:, 1])
+    rw = jnp.maximum(
+        expand_col(screen.rect_max[:, 0] - screen.rect_min[:, 0]), 1
+    )
+    gauss_i = expand_col(jnp.arange(n, dtype=jnp.int32))
+    depth_i = expand_col(depth_bits)
 
     s = jnp.arange(S, dtype=jnp.int32)
-    inst_valid = (s < total) & (started > 0)
+    inst_valid = s < total
     k = s - offs_i
     tile_id = jnp.where(
         inst_valid, (ry + k // rw) * grid_x + rx + k % rw, num_tiles
     ).astype(jnp.int32)
     gauss_id = jnp.where(inst_valid, gauss_i, -1).astype(jnp.int32)
+    depth_key = jnp.where(inst_valid, depth_i, jnp.int32(0x7FFFFFFF))
 
-    # ---- stable sort by tile (depth order preserved within tiles).
-    # with_src_index additionally carries the pre-sort instance index
-    # (for gather_payload_rows' structured VJP — costs a third sorted
-    # array, so off by default) ----
-    if with_src_index:
-        src_idx = jnp.where(inst_valid, s, -1)
-        st, sg, ss = jax.lax.sort(
-            (tile_id, gauss_id, src_idx), num_keys=1, is_stable=True
-        )
-    else:
-        st, sg = jax.lax.sort((tile_id, gauss_id), num_keys=1, is_stable=True)
-        ss = None
+    # ---- (tile, depth) order via LSD two-pass radix: stable sort by
+    # depth bits, then stable sort by tile. Two SINGLE-key sorts hit
+    # lax.sort's fast path; one multi-key sort falls off it (measured
+    # 123 ms vs ~12 ms for the pipeline at 2M instances). Ties in depth
+    # keep original gaussian order (stability), matching the oracle. ----
+    _, t1, g1 = jax.lax.sort(
+        (depth_key, tile_id, gauss_id), num_keys=1, is_stable=True
+    )
+    st, sg = jax.lax.sort((t1, g1), num_keys=1, is_stable=True)
 
     # ---- per-tile starts from sort boundaries (no segment_sum) ----
     prev_t = jnp.concatenate([jnp.full((1,), -1, jnp.int32), st[:-1]])
@@ -303,34 +298,20 @@ def bin_gaussians_instances(
     keep = (st < num_tiles) & (rank < tile_capacity)
     S_pad = padded_slots(instance_capacity, num_tiles)
     dest = jnp.where(keep, aligned_i + rank, S_pad)
-    if with_src_index:
-        packed = jnp.full((S_pad, 2), -1, jnp.int32)
-        packed = packed.at[dest].set(
-            jnp.stack(
-                [jnp.where(keep, sg, -1), jnp.where(keep, ss, -1)], axis=-1
-            ),
-            mode="drop",
-        )
-        inst_gauss_arr = packed[:, 0]
-        inst_src_arr = packed[:, 1]
-    else:
-        inst_gauss_arr = (
-            jnp.full((S_pad,), -1, jnp.int32)
-            .at[dest]
-            .set(jnp.where(keep, sg, -1), mode="drop")
-        )
-        inst_src_arr = jnp.zeros((0,), jnp.int32)
+    inst_gauss = (
+        jnp.full((S_pad,), -1, jnp.int32)
+        .at[dest]
+        .set(jnp.where(keep, sg, -1), mode="drop")
+    )
 
     instance_overflow = jnp.maximum(total - instance_capacity, 0)
     tile_overflow = jnp.sum(jnp.maximum(counts_all - tile_capacity, 0))
     return InstanceBinning(
-        inst_gauss=inst_gauss_arr,
-        inst_src=inst_src_arr,
+        inst_gauss=inst_gauss,
         tile_count=clamped,
         block_start=block_start,
-        rank_offs=offs.astype(jnp.int32),
-        rank_cnt=cnt.astype(jnp.int32),
-        rank_order=order.astype(jnp.int32),
         num_instances=total,
         overflow=instance_overflow + tile_overflow,
+        overflow_instance=instance_overflow,
+        overflow_tile=tile_overflow,
     )

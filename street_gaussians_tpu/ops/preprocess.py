@@ -280,3 +280,36 @@ def preprocess_gaussians(
         rect_max=rect_max,
         tiles_touched=jnp.where(valid, tiles_touched, 0).astype(jnp.int32),
     )
+
+
+def clip_screen_to_rows(
+    screen: GaussianScreenData, tile_row_start, num_tile_rows: int
+) -> GaussianScreenData:
+    """Restrict preprocessed gaussians to a horizontal band of tile rows
+    — the per-device view for row(tile)-sharded rendering
+    (parallel/tiles.py). `tile_row_start` may be traced (device index *
+    rows-per-device); `num_tile_rows` is static.
+
+    Shifts mean2d.y into the band's local pixel frame and re-clips the
+    tile rects; gaussians whose rect misses the band become invalid.
+    No reference analog — the CUDA renderer is single-GPU.
+    """
+    y_off = (tile_row_start * TILE).astype(jnp.float32)
+    mean2d = screen.mean2d - jnp.stack(
+        [jnp.zeros((), jnp.float32), y_off]
+    )[None, :]
+    rmin_y = jnp.clip(screen.rect_min[:, 1] - tile_row_start, 0, num_tile_rows)
+    rmax_y = jnp.clip(screen.rect_max[:, 1] - tile_row_start, 0, num_tile_rows)
+    rect_min = jnp.stack([screen.rect_min[:, 0], rmin_y], axis=-1)
+    rect_max = jnp.stack([screen.rect_max[:, 0], rmax_y], axis=-1)
+    wh = rect_max - rect_min
+    tiles = wh[:, 0] * wh[:, 1]
+    valid = screen.valid & (tiles > 0)
+    return screen._replace(
+        mean2d=mean2d,
+        rect_min=rect_min,
+        rect_max=rect_max,
+        tiles_touched=jnp.where(valid, tiles, 0).astype(jnp.int32),
+        valid=valid,
+        radius=jnp.where(valid, screen.radius, 0.0),
+    )

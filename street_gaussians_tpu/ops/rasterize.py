@@ -46,68 +46,82 @@ import functools
 
 import numpy as _np
 
+from street_gaussians_tpu.ops import segsum as segsum_lib
+
 
 def _f0(x):
     """Zero cotangent for integer primals."""
     return _np.zeros(x.shape, jax.dtypes.float0)
 
 
-@jax.custom_vjp
-def gather_payload_rows(src, inst_gauss, inst_src, rank_offs, rank_cnt, rank_order):
-    """Per-slot row gather of the [N, C] payload source with a
-    STRUCTURED transpose.
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
 
-    The plain VJP of this gather is a scatter-add of millions of rows
-    into N slots (~5-way contention — hundreds of ms on TPU). But in the
-    PRE-SORT instance order, every gaussian's instances are contiguous
-    (ranges rank_offs/rank_cnt per depth rank), so the backward instead
-    (1) scatter-SETs slot cotangents to their unique pre-sort positions,
-    (2) cumsums once, (3) reduces each range by two boundary row
-    gathers, (4) un-permutes by rank_order. Deterministic and
-    contention-free — the moral replacement for the CUDA backward's
-    atomicAdd accumulation (ref: backward.cu:568-638).
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def build_payload_blocks(src, inst_gauss, interpret=False):
+    """Gather [N, C] payload rows into packed instance blocks
+    [num_blocks + 1, C, 128] (trash block last) with a SCATTER-FREE
+    transpose.
+
+    Forward: one consolidated row gather + block transpose. Backward:
+    the plain gather's VJP would be a scatter-add of ~3M rows into N
+    slots (measured 238 ms on v5e — the moral equivalent of the CUDA
+    backward's atomicAdd, ref: backward.cu:568-638). Instead the
+    backward (1) radix-sorts the cotangent rows by gaussian id carrying
+    all C channels (key-dominated: ~4 ms regardless of payload width),
+    then (2) reduces each id-range [g, g+1) on the MXU via
+    ops/segsum.py (~5 ms). Deterministic, scatter-free, ~25x the
+    scatter-add's speed.
     """
     valid = inst_gauss >= 0
     safe = jnp.maximum(inst_gauss, 0)
-    return jnp.where(valid[:, None], jnp.take(src, safe, axis=0), 0.0)
+    gathered = jnp.where(valid[:, None], jnp.take(src, safe, axis=0), 0.0)
+    nb = gathered.shape[0] // 128
+    c_pad = src.shape[1]
+    payload = gathered.reshape(nb, 128, c_pad).transpose(0, 2, 1)
+    return jnp.pad(payload, ((0, 1), (0, 0), (0, 0)))  # +1 trash block
 
 
-def _gpr_fwd(src, inst_gauss, inst_src, rank_offs, rank_cnt, rank_order):
-    out = gather_payload_rows(
-        src, inst_gauss, inst_src, rank_offs, rank_cnt, rank_order
-    )
-    return out, (src.shape[0], inst_gauss, inst_src, rank_offs, rank_cnt, rank_order)
+def _bpb_fwd(src, inst_gauss, interpret):
+    out = build_payload_blocks(src, inst_gauss, interpret)
+    return out, (src.shape[0], inst_gauss)
 
 
-def _gpr_bwd(res, d_out):
-    n, inst_gauss, inst_src, rank_offs, rank_cnt, rank_order = res
-    S_pad, C = d_out.shape
-    # 1. slot cotangents -> unique pre-sort positions (scatter-SET)
-    pos = jnp.where(inst_src >= 0, inst_src, S_pad)
-    d_pre = jnp.zeros((S_pad + 1, C), d_out.dtype).at[pos].set(d_out, mode="drop")
-    # 2. one cumsum over the pre-sort axis
-    cs = jnp.cumsum(d_pre[:-1], axis=0)  # [S_pad, C]
-    # 3. per-rank range sums via two boundary row gathers
-    end = jnp.clip(rank_offs + rank_cnt - 1, 0, S_pad - 1)
-    lo_idx = jnp.clip(rank_offs - 1, 0, S_pad - 1)
-    hi = jnp.take(cs, end, axis=0)
-    lo = jnp.where(
-        (rank_offs > 0)[:, None], jnp.take(cs, lo_idx, axis=0), 0.0
-    )
-    seg = jnp.where((rank_cnt > 0)[:, None], hi - lo, 0.0)  # [N, C]
-    # 4. un-permute depth ranks back to original gaussian order
-    d_src = jnp.zeros((n, C), d_out.dtype).at[rank_order].set(seg)
-    return (
-        d_src,
-        _f0(inst_gauss),
-        _f0(inst_src),
-        _f0(rank_offs),
-        _f0(rank_cnt),
-        _f0(rank_order),
-    )
+def _bpb_bwd(interpret, res, d_blocks):
+    n, inst_gauss = res
+    nb1, C, _ = d_blocks.shape  # includes trash block
+    cap = 1024
+    S_pad = inst_gauss.shape[0]
+    Lp = _round_up(S_pad, cap)
+
+    valid = inst_gauss >= 0
+    keys = jnp.where(valid, inst_gauss, segsum_lib.BIG)  # [S_pad]
+    keys = jnp.pad(keys, (0, Lp - S_pad), constant_values=segsum_lib.BIG)
+    # zero invalid rows: the trash block and empty-slot lanes hold
+    # uninitialized kernel output, and 0 * NaN = NaN inside the segsum
+    # matmul even though their keys fall in no segment
+    flats = [
+        jnp.pad(
+            jnp.where(valid, d_blocks[:, c, :].reshape(-1)[:S_pad], 0.0),
+            (0, Lp - S_pad),
+        )
+        for c in range(C)
+    ]
+    srt = jax.lax.sort((keys, *flats), num_keys=1, is_stable=False)
+    skeys = srt[0]
+    svals = jnp.stack(srt[1:], axis=0)  # [C, Lp]
+
+    group = 256
+    Np = _round_up(n, group)
+    seg = jnp.arange(Np, dtype=jnp.int32)
+    d_src = segsum_lib.segment_rowsum(
+        svals, skeys, seg, seg + 1, cap=cap, group=group, interpret=interpret
+    )[:n]
+    return (d_src, _f0(inst_gauss))
 
 
-gather_payload_rows.defvjp(_gpr_fwd, _gpr_bwd)
+build_payload_blocks.defvjp(_bpb_fwd, _bpb_bwd)
 
 
 def rasterize(
@@ -144,7 +158,7 @@ def rasterize(
     F = features.shape[-1]
 
     c_pad = payload_rows(F)
-    if config.layout == "instance" and not config.interpret:
+    if config.layout == "instance":
         # ---- instance-major payload (tile_raster2 DMA kernel) ----
         bins = binning_lib.bin_gaussians_instances(
             screen, grid_x, grid_y, config.instance_capacity, config.tile_capacity
@@ -165,18 +179,9 @@ def rasterize(
         # src is already in that order by construction
         if src.shape[1] < c_pad:
             src = jnp.pad(src, ((0, 0), (0, c_pad - src.shape[1])))
-        # NOTE: gather_payload_rows offers a structured (cumsum-reduceat)
-        # VJP, but its [S, 16] row ops are lane-limited on TPU and
-        # measured SLOWER than the plain gather's scatter-add transpose;
-        # the naive path stays (see docs/perf_journal.md)
-        valid = bins.inst_gauss >= 0
-        safe = jnp.maximum(bins.inst_gauss, 0)
-        gathered = jnp.where(
-            valid[:, None], jnp.take(src, safe, axis=0), 0.0
-        )  # [S_pad, c_pad]
-        nb = gathered.shape[0] // 128
-        payload = gathered.reshape(nb, 128, c_pad).transpose(0, 2, 1)  # [NB, c_pad, 128]
-        payload = jnp.pad(payload, ((0, 1), (0, 0), (0, 0)))  # +1 trash block
+        payload = build_payload_blocks(
+            src, bins.inst_gauss, config.interpret
+        )  # [NB + 1, c_pad, 128]
 
         from street_gaussians_tpu.ops.tile_raster2 import tile_blend_instances
 
@@ -236,6 +241,8 @@ def rasterize(
         "T": T,
         "num_instances": bins.num_instances,
         "overflow": bins.overflow,
+        "overflow_instance": bins.overflow_instance,
+        "overflow_tile": bins.overflow_tile,
     }
     if extra_features is not None:
         result["extra"] = accum[..., 4:]

@@ -179,6 +179,75 @@ def make_eval_render(cfg: Config, scene: Scene, include_mask=None):
     return eval_render
 
 
+class ViewerBridge:
+    """SIBR remote-viewer loop hook (the wiring the reference leaves
+    dormant — lib/models/network_gui.py is imported nowhere there).
+
+    Enable with `viewer.enabled True` on the train CLI. Each training
+    iteration polls the non-blocking listener; while a viewer is
+    connected, renders its requested free camera with the CURRENT
+    parameters and streams raw RGB bytes back (one jit cache entry per
+    viewer resolution)."""
+
+    def __init__(self, cfg: Config, scene: Scene):
+        from street_gaussians_tpu import network_gui
+
+        self.gui = network_gui
+        self.cfg = cfg
+        self.scene = scene
+        self.opts = render_opts_from_cfg(cfg, "eval")
+        self._render_cache = {}
+        network_gui.init(cfg.viewer.ip, int(cfg.viewer.port))
+        print(f"[viewer] listening on {cfg.viewer.ip}:{cfg.viewer.port}")
+
+    def _render_fn(self, H: int, W: int):
+        if (H, W) not in self._render_cache:
+            scene, opts = self.scene, self.opts
+
+            @jax.jit
+            def render(params, aux, frame_inp):
+                return render_frame(
+                    params, aux, scene.table, scene.pose_data, frame_inp,
+                    step=jnp.asarray(10 ** 9), opts=opts,
+                )["rgb"]
+
+            self._render_cache[(H, W)] = render
+        return self._render_cache[(H, W)]
+
+    def poll(self, state, template_view, training_done: bool) -> None:
+        import dataclasses as _dc
+
+        gui = self.gui
+        if gui.conn is None:
+            gui.try_connect()
+        while gui.conn is not None:
+            try:
+                cam, do_training, keep_alive, scaling_mod = gui.receive()
+                if cam is not None:
+                    tpl = template_view.frame_input
+                    cam = _dc.replace(
+                        cam,
+                        frame=tpl.cam.frame,
+                        timestamp=tpl.cam.timestamp,
+                        cam_id=tpl.cam.cam_id,
+                        image_id=tpl.cam.image_id,
+                    )
+                    frame_inp = _dc.replace(tpl, cam=cam)
+                    rgb = self._render_fn(cam.H, cam.W)(
+                        state.params, state.aux, frame_inp
+                    )
+                    gui.send_image(np.asarray(rgb), self.cfg.source_path)
+                else:
+                    gui.send(None, self.cfg.source_path)
+                # a 'train' request yields back to the training loop
+                # while iterations remain (upstream 3DGS loop semantics)
+                if do_training and (not training_done or not keep_alive):
+                    break
+            except Exception:
+                gui.disconnect()
+        return
+
+
 def save_scene_artifacts(cfg: Config, scene: Scene) -> None:
     """input.ply + cameras.json for SIBR-style viewers
     (ref: lib/datasets/dataset.py:32-48, camera_utils.py:172-192)."""
@@ -227,7 +296,6 @@ def training(cfg: Config, progress: bool = True) -> Dict:
     params = build_initial_params(cfg, scene)
     state = train_lib.init_train_state(params, scene.aux_init)
 
-    opts = render_opts_from_cfg(cfg, "train")
     # camera-data-parallel over the device mesh when batch_size > 1
     # (no reference analog — strictly single-GPU there, SURVEY.md §2.6)
     batch_size = int(cfg.train.get("batch_size", 1))
@@ -241,11 +309,24 @@ def training(cfg: Config, progress: bool = True) -> Dict:
         )
 
         mesh = make_mesh(batch_size)
-        dp_step_fn = make_data_parallel_train_step(
-            cfg, scene.table, scene.pose_data, opts, mesh
-        )
         print(f"[dp] camera-data-parallel over {batch_size} devices")
-    step_fn = train_lib.make_train_step(cfg, scene.table, scene.pose_data, opts)
+
+    def build_train_steps():
+        """(Re)build the jitted train steps from cfg.render capacities —
+        called again after an overflow-driven capacity bump (bounded
+        recompiles at doubling steps, SURVEY.md §7 hard part 2)."""
+        opts = render_opts_from_cfg(cfg, "train")
+        fns = {"step": train_lib.make_train_step(cfg, scene.table, scene.pose_data, opts)}
+        if use_dp:
+            fns["dp_step"] = make_data_parallel_train_step(
+                cfg, scene.table, scene.pose_data, opts, mesh
+            )
+        return fns
+
+    train_fns = build_train_steps()
+    step_fn = train_fns["step"]
+    if use_dp:
+        dp_step_fn = train_fns["dp_step"]
     densify_fn = train_lib.make_densify_fn(cfg, scene.table)
     reset_fn = train_lib.make_reset_opacity_fn()
     eval_render = make_eval_render(cfg, scene)
@@ -286,6 +367,17 @@ def training(cfg: Config, progress: bool = True) -> Dict:
     ema_loss, ema_psnr = 0.0, 0.0
     t_start = time.time()
     scalars = {}
+    # ---- overflow watchdog (SURVEY.md §7 hard part 2): capacity drops
+    # must never silently bias training. Persistent overflow triggers a
+    # loud warning and (by default) doubles the exceeded capacity,
+    # rebuilding the jitted steps — a bounded number of recompiles. ----
+    overflow_window: List[tuple] = []
+    auto_grow = bool(cfg.render.get("auto_grow_capacity", True))
+    grow_budget = {"tile": 3, "instance": 3}
+    max_caps = {"tile": 4096, "instance": 2 ** 23}
+    viewer = (
+        ViewerBridge(cfg, scene) if cfg.get("viewer", {}).get("enabled") else None
+    )
     for iteration in range(start_iter + 1, iters + 1):
         if not view_stack:
             view_stack = list(scene.train_views)
@@ -315,6 +407,9 @@ def training(cfg: Config, progress: bool = True) -> Dict:
         else:
             state, scalars = step_fn(state, view.frame_input, gt, sub)
 
+        if viewer is not None:
+            viewer.poll(state, view, training_done=iteration >= iters)
+
         # densification & opacity reset cadence (train.py:186-210)
         if iteration < o.densify_until_iter:
             if (
@@ -337,6 +432,50 @@ def training(cfg: Config, progress: bool = True) -> Dict:
             psnr_v = float(scalars["psnr"])
             ema_loss = 0.4 * loss + 0.6 * ema_loss if ema_loss else loss
             ema_psnr = 0.4 * psnr_v + 0.6 * ema_psnr if ema_psnr else psnr_v
+
+            # ---- overflow watchdog ----
+            ovf_i = float(scalars.get("overflow_instance", 0.0))
+            ovf_t = float(scalars.get("overflow_tile", 0.0))
+            overflow_window.append((ovf_i, ovf_t))
+            if len(overflow_window) >= 10:
+                hits_i = sum(1 for a, _ in overflow_window if a > 0)
+                hits_t = sum(1 for _, b in overflow_window if b > 0)
+                overflow_window.clear()
+                for kind, hits, dropped in (
+                    ("instance", hits_i, ovf_i),
+                    ("tile", hits_t, ovf_t),
+                ):
+                    if hits < 5:
+                        continue
+                    cap_key = f"{kind}_capacity"
+                    cap = int(
+                        cfg.render.get(
+                            cap_key, 1024 if kind == "tile" else 2 ** 21
+                        )
+                    )
+                    print(
+                        f"[overflow] {kind}_capacity={cap} exceeded in "
+                        f"{hits}/10 recent samples (last drop: {dropped:.0f} "
+                        "instances) — rendered pixels are missing occluded "
+                        "contributors",
+                        flush=True,
+                    )
+                    if (
+                        auto_grow
+                        and grow_budget[kind] > 0
+                        and cap * 2 <= max_caps[kind]
+                    ):
+                        grow_budget[kind] -= 1
+                        cfg.render[cap_key] = cap * 2
+                        print(
+                            f"[overflow] growing {cap_key} -> {cap * 2} "
+                            "(recompiling train step)",
+                            flush=True,
+                        )
+                        train_fns = build_train_steps()
+                        step_fn = train_fns["step"]
+                        if use_dp:
+                            dp_step_fn = train_fns["dp_step"]
         if progress and iteration % 100 == 0:
             dt = time.time() - t_start
             print(

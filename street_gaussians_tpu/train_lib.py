@@ -343,7 +343,8 @@ def make_train_step(
             aux=state_aux, table=table,
         )
         scalars["psnr"] = L.psnr(out["rgb"], gt.image, gt.mask)
-        return loss, (scalars, out["radii"], out["overflow"])
+        ovf = (out["overflow"], out["overflow_instance"], out["overflow_tile"])
+        return loss, (scalars, out["radii"], ovf)
 
     def step_fn(state: TrainState, frame_inp: FrameInput, gt: GroundTruth, key):
         step = state.step
@@ -352,7 +353,7 @@ def make_train_step(
         abs_dummy = jnp.zeros((C, 2), jnp.float32)
 
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
-        (loss, (scalars, radii, overflow)), grads = grad_fn(
+        (loss, (scalars, radii, ovf)), grads = grad_fn(
             state.params, m2d_off, abs_dummy, state.aux, frame_inp, gt, k_render, step
         )
         g_params, g_m2d, g_abs = grads
@@ -396,7 +397,9 @@ def make_train_step(
             state.params, g_params, state.adam, lr_tree, mask_tree
         )
 
-        scalars["overflow"] = overflow
+        scalars["overflow"] = ovf[0]
+        scalars["overflow_instance"] = ovf[1]
+        scalars["overflow_tile"] = ovf[2]
         scalars["num_alive"] = jnp.sum(aux.alive)
         new_state = TrainState(
             params=new_params, adam=new_adam, aux=aux, step=step + 1

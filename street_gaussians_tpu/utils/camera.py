@@ -164,16 +164,24 @@ def make_camera(
     )
 
 
-def camera_rays(cam: CameraJax, jitter: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+def camera_rays(
+    cam: CameraJax,
+    jitter: Optional[jnp.ndarray] = None,
+    row_start=None,
+    num_rows: Optional[int] = None,
+) -> jnp.ndarray:
     """Per-pixel unit ray directions in world frame, [H, W, 3].
 
     jitter: optional [H, W, 2] sub-pixel offsets in [-0.5, 0.5) added to the
     pixel centers (ref: lib/utils/graphics_utils.py:186-207 get_rays /
     sky_cubemap.py:93-96 train-time jitter).
+    row_start/num_rows: optional image-row band (row-sharded rendering,
+    parallel/tiles.py) — rows [row_start, row_start + num_rows).
     """
-    H, W = cam.H, cam.W
+    H, W = (num_rows if num_rows is not None else cam.H), cam.W
+    r0 = 0 if row_start is None else row_start
     x = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, axis=0)
-    y = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, axis=1)
+    y = (jnp.arange(H, dtype=jnp.float32) + r0)[:, None].repeat(W, axis=1)
     if jitter is not None:
         x = x + jitter[..., 0]
         y = y + jitter[..., 1]

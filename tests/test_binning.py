@@ -100,33 +100,36 @@ def test_single_tile_overflow():
     assert int(inst.overflow) == n - cap
 
 
-def test_gather_payload_vjp_matches_naive():
-    """The structured cumsum-reduceat backward of gather_payload_rows
-    must equal the naive gather's scatter-add VJP."""
+@pytest.mark.parametrize("seed", [0, 7])
+def test_payload_blocks_vjp_matches_naive(seed):
+    """The sort + banded-matmul segment-sum backward of
+    build_payload_blocks must equal the naive gather's scatter-add VJP."""
     import jax
-    from street_gaussians_tpu.ops.rasterize import gather_payload_rows
+    from street_gaussians_tpu.ops.rasterize import build_payload_blocks
 
     grid_x, grid_y = 5, 4
-    screen = make_screen(200, grid_x, grid_y, seed=7)
-    bins = B.bin_gaussians_instances(screen, grid_x, grid_y, 2 ** 12, 32, with_src_index=True)
+    screen = make_screen(200, grid_x, grid_y, seed=seed)
+    # small tile_capacity forces overflow drops (holes in the key space)
+    bins = B.bin_gaussians_instances(screen, grid_x, grid_y, 2 ** 12, 32)
     rng = np.random.default_rng(0)
     src = jnp.asarray(rng.normal(size=(200, 16)).astype(np.float32))
+    S_pad = bins.inst_gauss.shape[0]
     dloss_w = jnp.asarray(
-        rng.normal(size=(bins.inst_gauss.shape[0], 16)).astype(np.float32)
+        rng.normal(size=(S_pad // 128 + 1, 16, 128)).astype(np.float32)
     )
 
     def loss_structured(src):
-        g = gather_payload_rows(
-            src, bins.inst_gauss, bins.inst_src,
-            bins.rank_offs, bins.rank_cnt, bins.rank_order,
-        )
-        return jnp.sum(g * dloss_w)
+        p = build_payload_blocks(src, bins.inst_gauss, True)
+        return jnp.sum(p * dloss_w)
 
     def loss_naive(src):
         valid = bins.inst_gauss >= 0
         safe = jnp.maximum(bins.inst_gauss, 0)
         g = jnp.where(valid[:, None], jnp.take(src, safe, axis=0), 0.0)
-        return jnp.sum(g * dloss_w)
+        p = jnp.pad(
+            g.reshape(-1, 128, 16).transpose(0, 2, 1), ((0, 1), (0, 0), (0, 0))
+        )
+        return jnp.sum(p * dloss_w)
 
     v1 = float(loss_structured(src))
     v2 = float(loss_naive(src))

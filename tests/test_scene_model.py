@@ -252,3 +252,70 @@ def test_opacity_reset(scene):
     state2 = reset_fn(state)
     op = jax.nn.sigmoid(state2.params.gaussians.opacity_logit)
     assert float(op.max()) <= 0.01 + 1e-5
+
+
+def test_sky_cubemap_structured_backward_matches_scatter():
+    """The sort + segment-sum cubemap gradient must equal the plain
+    4-tap scatter-add VJP."""
+    import jax
+    from street_gaussians_tpu.models.sky_cubemap import sample_cubemap
+
+    rng = np.random.default_rng(5)
+    R = 16
+    cm = jnp.asarray(rng.random((6, R, R, 3)).astype(np.float32))
+    dirs = jnp.asarray(rng.standard_normal((40, 30, 3)).astype(np.float32))
+    dl = jnp.asarray(rng.standard_normal((40, 30, 3)).astype(np.float32))
+
+    def loss_structured(cm):
+        return jnp.sum(sample_cubemap(cm, dirs, interpret=True) * dl)
+
+    def loss_naive(cm):
+        # reproduce the tap math with plain autodiff (scatter-add VJP)
+        from street_gaussians_tpu.models import sky_cubemap as S
+
+        x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+        ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+        is_x = (ax >= ay) & (ax >= az)
+        is_y = (~is_x) & (ay >= az)
+        face = jnp.where(
+            is_x,
+            jnp.where(x > 0, 0, 1),
+            jnp.where(is_y, jnp.where(y > 0, 2, 3), jnp.where(z > 0, 4, 5)),
+        )
+        major = jnp.maximum(jnp.where(is_x, ax, jnp.where(is_y, ay, az)), 1e-12)
+        u = jnp.where(
+            is_x, jnp.where(x > 0, -z, z),
+            jnp.where(is_y, x, jnp.where(z > 0, x, -x)),
+        ) / major
+        v = jnp.where(
+            is_x, -y, jnp.where(is_y, jnp.where(y > 0, z, -z), -y)
+        ) / major
+        px = (u + 1.0) * 0.5 * R - 0.5
+        py = (v + 1.0) * 0.5 * R - 0.5
+        x0 = jnp.floor(px)
+        y0 = jnp.floor(py)
+        fx = (px - x0)[..., None]
+        fy = (py - y0)[..., None]
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, R - 1)
+        x1i = jnp.clip(x0i + 1, 0, R - 1)
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, R - 1)
+        y1i = jnp.clip(y0i + 1, 0, R - 1)
+        flat = cm.reshape(-1, 3)
+        base = face * (R * R)
+        c00 = jnp.take(flat, base + y0i * R + x0i, axis=0)
+        c01 = jnp.take(flat, base + y0i * R + x1i, axis=0)
+        c10 = jnp.take(flat, base + y1i * R + x0i, axis=0)
+        c11 = jnp.take(flat, base + y1i * R + x1i, axis=0)
+        out = (
+            c00 * (1 - fx) * (1 - fy)
+            + c01 * fx * (1 - fy)
+            + c10 * (1 - fx) * fy
+            + c11 * fx * fy
+        )
+        return jnp.sum(out * dl)
+
+    v1, v2 = float(loss_structured(cm)), float(loss_naive(cm))
+    np.testing.assert_allclose(v1, v2, rtol=1e-5)
+    g1 = jax.grad(loss_structured)(cm)
+    g2 = jax.grad(loss_naive)(cm)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
