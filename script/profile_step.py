@@ -196,6 +196,46 @@ def main():
 
         timed("render fwd+bwd (L1 only)", f_render_grad, params, iters=it)
 
+    if on("loss"):
+        from street_gaussians_tpu.utils import losses as L
+        from street_gaussians_tpu.train_lib import trimmed_l1_depth
+
+        img_a = jnp.linspace(0, 1, H * W * 3).reshape(H, W, 3)
+        img_b = img_a[::-1]
+
+        def f_ssim(t, a, b):
+            def loss(a):
+                return L.ssim(a + t, b)
+            return jax.grad(loss)(a)
+
+        timed("SSIM fwd+bwd", f_ssim, img_a, img_b, iters=it)
+
+        depth_map = img_a[..., 0] * 30.0
+        dmask = img_b[..., 0:1] > 0.5
+
+        def f_trim(t, d):
+            def loss(d):
+                return trimmed_l1_depth(d + t, depth_map * 0.9, dmask[..., 0])
+            return jax.grad(loss)(d)
+
+        timed("trimmed lidar-depth L1 fwd+bwd", f_trim, depth_map, iters=it)
+
+    if on("opt"):
+        from street_gaussians_tpu.optim.adam import adam_update
+        from street_gaussians_tpu.train_lib import make_lr_tree
+        import jax.tree_util as jtu
+
+        state0 = train_lib.init_train_state(params, scene.aux)
+        lr_tree = make_lr_tree(cfg, scene.table, params, scene.aux, jnp.zeros((), jnp.int32))
+        mask_tree = jax.tree.map(lambda _: jnp.ones((), jnp.float32), params)
+        g = jax.tree.map(jnp.ones_like, params)
+
+        def f_adam(t, params, adam):
+            g2 = jax.tree.map(lambda x: x + t, g)
+            return adam_update(params, g2, adam, lr_tree, mask_tree)
+
+        timed("adam update (full tree)", f_adam, params, state0.adam, iters=it)
+
     if on("step"):
         state = train_lib.init_train_state(params, scene.aux)
         step_fn = train_lib.make_train_step(

@@ -32,58 +32,75 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _bilinear_taps(flat, idx4, w4, interpret=False):
-    """sum_t w4[..., t] * flat[idx4[..., t]] — 4-tap bilinear lookup of
-    a [T, 3] table with a SCATTER-FREE transpose.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _bilinear_taps(flat, base, e4, R, interpret=False):
+    """4-tap bilinear lookup of a [T, 3] table with a SCATTER-FREE
+    transpose.
+
+    base: [...] int32 — linear index of the top-left tap texel;
+    e4: [..., 4] f32 — tap weights in offset order (+0, +1, +R, +R+1),
+      pre-folded at borders so degenerate taps carry zero weight and
+      every live tap is at EXACTLY its static offset from `base`.
 
     The plain VJP is a 4-way scatter-add of ~1.1M pixel cotangents into
     the [6*R*R, 3] cubemap (measured ~270 ms at 1280x880/R=1024 — by far
     the most expensive op of the whole train step). The structured
-    backward sorts (texel, w*d_rgb) entries by texel id and reduces them
-    with the same banded-matmul segment sum as the rasterizer payload
-    gradients (ops/segsum.py). Weight/direction cotangents are
+    backward instead sorts ONE entry per pixel keyed by `base` carrying
+    the 12 weighted-cotangent channels (lax.sort cost is key-dominated),
+    reduces per-texel with the banded-matmul segment sum
+    (ops/segsum.py), and assigns the +1/+R/+R+1 tap planes by three
+    static shifts of the per-texel sums. Weight cotangents are
     intentionally zero: rays come from the fixed camera and the random
     jitter, neither learnable (the reference's nvdiffrast uv-gradients
     equally die at non-learnable rays, lib/models/sky_cubemap.py:99-119).
     """
+    T = flat.shape[0]
     acc = 0.0
-    for t in range(4):
-        acc = acc + w4[..., t:t + 1] * jnp.take(flat, idx4[..., t], axis=0)
+    for t, off in enumerate((0, 1, R, R + 1)):
+        idx = jnp.minimum(base + off, T - 1)  # weight 0 when clamped
+        acc = acc + e4[..., t : t + 1] * jnp.take(flat, idx, axis=0)
     return acc
 
 
-def _bt_fwd(flat, idx4, w4, interpret):
-    return _bilinear_taps(flat, idx4, w4, interpret), (flat.shape[0], idx4, w4)
+def _bt_fwd(flat, base, e4, R, interpret):
+    return _bilinear_taps(flat, base, e4, R, interpret), (flat.shape[0], base, e4)
 
 
-def _bt_bwd(interpret, res, d_out):
+def _bt_bwd(R, interpret, res, d_out):
     from street_gaussians_tpu.ops import segsum as segsum_lib
 
-    T, idx4, w4 = res
+    T, base, e4 = res
     C = d_out.shape[-1]
-    keys = idx4.reshape(-1)  # [4P]
-    vals = (w4[..., None] * d_out[..., None, :]).reshape(-1, C)  # [4P, 3]
+    P = int(np.prod(base.shape))
+    keys = base.reshape(-1)  # [P]
+    # 12 channels: tap-plane-major (e_t * d_rgb)
+    vals = (e4[..., :, None] * d_out[..., None, :]).reshape(P, 4 * C)
     cap = 2048
-    L = _round_up(keys.shape[0], cap)
-    keys = jnp.pad(keys, (0, L - keys.shape[0]), constant_values=segsum_lib.BIG)
-    vals = jnp.pad(vals, ((0, L - vals.shape[0]), (0, 0)))
+    L = _round_up(P, cap)
+    keys = jnp.pad(keys, (0, L - P), constant_values=segsum_lib.BIG)
+    vals = jnp.pad(vals, ((0, L - P), (0, 0)))
     srt = jax.lax.sort(
-        (keys, *(vals[:, c] for c in range(C))), num_keys=1, is_stable=False
+        (keys, *(vals[:, c] for c in range(4 * C))), num_keys=1, is_stable=False
     )
     skeys = srt[0]
-    svals = jnp.stack(srt[1:], axis=0)  # [C, L]
+    svals = jnp.stack(srt[1:], axis=0)  # [4C, L]
     group = 512
     Tp = _round_up(T, group)
     texel = jnp.arange(Tp, dtype=jnp.int32)
-    d_flat = segsum_lib.segment_rowsum(
+    planes = segsum_lib.segment_rowsum(
         svals, skeys, texel, texel + 1, cap=cap, group=group,
         interpret=interpret,
-    )[:T]
+    )[:T].reshape(T, 4, C)
+    # tap plane for offset `off` accumulated at `base` belongs to texel
+    # base + off: shift each plane down by its offset (live taps never
+    # cross a row/face boundary — border folding guarantees it)
+    d_flat = planes[:, 0]
+    for t, off in enumerate((1, R, R + 1)):
+        d_flat = d_flat + jnp.pad(planes[:, t + 1], ((off, 0), (0, 0)))[:T]
     return (
         d_flat,
-        np.zeros(idx4.shape, jax.dtypes.float0),
-        jnp.zeros_like(w4),
+        np.zeros(base.shape, jax.dtypes.float0),
+        jnp.zeros_like(e4),
     )
 
 
@@ -149,22 +166,24 @@ def sample_cubemap(
     # flattened linear-index gathers (a single [6*R*R, 3] operand row
     # gather lowers far better on TPU than 3-axis advanced indexing);
     # the 4 taps run through a custom-VJP core whose backward is a
-    # sort + segment-sum instead of a scatter-add
+    # sort + segment-sum instead of a scatter-add. Taps are expressed as
+    # (base texel, static offsets {0, 1, R, R+1}); at the clamped
+    # borders (x1i == x0i / y1i == y0i) the degenerate tap's weight is
+    # folded into its live partner so offsets stay exact.
     flat = cubemap.reshape(-1, 3)
-    base = face * (R * R)
-    idx4 = jnp.stack(
-        [
-            base + y0i * R + x0i,
-            base + y0i * R + x1i,
-            base + y1i * R + x0i,
-            base + y1i * R + x1i,
-        ],
-        axis=-1,
-    )
-    w4 = jnp.stack(
-        [(1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy], axis=-1
-    )
-    return _bilinear_taps(flat, idx4, w4, interpret)
+    base = face * (R * R) + y0i * R + x0i
+    w00 = (1 - fx) * (1 - fy)
+    w01 = fx * (1 - fy)
+    w10 = (1 - fx) * fy
+    w11 = fx * fy
+    degx = (x1i == x0i).astype(w00.dtype)
+    degy = (y1i == y0i).astype(w00.dtype)
+    e00 = w00 + degx * w01 + degy * w10 + degx * degy * w11
+    e01 = (1 - degx) * (w01 + degy * w11)
+    e10 = (1 - degy) * (w10 + degx * w11)
+    e11 = (1 - degx) * (1 - degy) * w11
+    e4 = jnp.stack([e00, e01, e10, e11], axis=-1)
+    return _bilinear_taps(flat, base, e4, R, interpret)
 
 
 def render_sky(

@@ -37,17 +37,20 @@ from street_gaussians_tpu.ops.preprocess import GaussianScreenData
 
 
 class InstanceBinning(NamedTuple):
-    """Instance-major binning (for ops/tile_raster2.py): each tile owns a
-    contiguous 128-aligned run of slots in one packed instance array.
+    """Instance-major binning (for ops/tile_raster2.py): each tile owns
+    a contiguous RAGGED run [tile_start, tile_start + tile_count) of
+    rows in the (tile, depth)-sorted instance array; the blend kernel
+    masks boundary blocks by global row range, so the layout needs no
+    alignment scatter.
 
     `inst_gauss` doubles as the backward's reduction key: the payload
     gather's VJP sorts the per-instance gradient rows by gaussian id and
     reduces each id-range with a banded-matmul segment sum
     (ops/segsum.py) instead of a contended scatter-add."""
 
-    inst_gauss: jnp.ndarray  # [S_pad] gaussian index, -1 for empty slots
-    tile_count: jnp.ndarray  # [num_tiles] valid instances per tile
-    block_start: jnp.ndarray  # [num_tiles] first 128-slot block per tile
+    inst_gauss: jnp.ndarray  # [S] gaussian index per sorted slot, -1 dropped
+    tile_count: jnp.ndarray  # [num_tiles] valid instances per tile (clamped)
+    tile_start: jnp.ndarray  # [num_tiles] first sorted row of the tile's run
     num_instances: jnp.ndarray  # scalar: total generated (pre-drop)
     overflow: jnp.ndarray  # scalar: dropped instances (either cause)
     overflow_instance: jnp.ndarray  # scalar: dropped by instance_capacity
@@ -238,11 +241,23 @@ def bin_gaussians_instances(
         return jnp.cumsum(buf)
 
     offs_i = expand_col(offs)
-    rx = expand_col(screen.rect_min[:, 0])
-    ry = expand_col(screen.rect_min[:, 1])
-    rw = jnp.maximum(
-        expand_col(screen.rect_max[:, 0] - screen.rect_min[:, 0]), 1
-    )
+    rwidth = screen.rect_max[:, 0] - screen.rect_min[:, 0]
+    if grid_x < 128 and grid_y < 128:
+        # pack (rx, ry, rw) into one column: packing is linear, so the
+        # delta-telescoping survives — one scatter+cumsum instead of 3
+        packed_rect = (
+            screen.rect_min[:, 0]
+            + (screen.rect_min[:, 1] << 7)
+            + (rwidth << 14)
+        )
+        pr = expand_col(packed_rect)
+        rx = pr & 127
+        ry = (pr >> 7) & 127
+        rw = jnp.maximum(pr >> 14, 1)
+    else:  # panorama-scale grids: separate columns
+        rx = expand_col(screen.rect_min[:, 0])
+        ry = expand_col(screen.rect_min[:, 1])
+        rw = jnp.maximum(expand_col(rwidth), 1)
     gauss_i = expand_col(jnp.arange(n, dtype=jnp.int32))
     depth_i = expand_col(depth_bits)
 
@@ -275,41 +290,32 @@ def bin_gaussians_instances(
         .set(jnp.where(boundary, s, 0), mode="drop")
     )
     tile_start = jax.lax.cummin(starts_raw[::-1])[::-1]  # [T+1], non-decreasing
+    # fill values for trailing empty tiles are `total`, which EXCEEDS
+    # the array when instances overflow capacity — clamp to [0, S] so
+    # run descriptors (and the kernel's block indices) stay in bounds,
+    # and count only rows that exist in the array
+    tile_start = jnp.minimum(tile_start, S)
     counts_all = tile_start[1:] - tile_start[:-1]
 
     clamped = jnp.minimum(counts_all, tile_capacity)
-    blocks = (clamped + 127) // 128
-    block_start = (jnp.cumsum(blocks) - blocks).astype(jnp.int32)
 
-    # ---- per-instance rank + aligned destination, gather-free ----
+    # ---- ragged layout: the packed array IS the sorted array. Tile t's
+    # run occupies rows [tile_start[t], tile_start[t] + clamped[t]); the
+    # blend kernel masks boundary blocks by global row range, so no
+    # alignment scatter is needed at all (a [S_pad] scatter-set cost
+    # ~13 ms and 128-aligned padding grew every downstream array by
+    # 128 * num_tiles slots). ----
     running_start = jax.lax.cummax(jnp.where(boundary, s, 0))
     rank = s - running_start
-    # aligned start per instance: delta-scatter 128*block_start at each
-    # tile's first slot (positions = tile_start[:T], a small scatter)
-    aligned = (block_start * 128).astype(jnp.int32)
-    aprev = jnp.concatenate([jnp.zeros((1,), jnp.int32), aligned[:-1]])
-    adelta = aligned - aprev
-    # empty tiles share tile_start with the next tile; scatter-ADD
-    # accumulates their deltas onto the shared position, keeping the
-    # telescoping sum intact
-    abuf = jnp.zeros((S,), jnp.int32).at[tile_start[:-1]].add(adelta, mode="drop")
-    aligned_i = jnp.cumsum(abuf)
-
     keep = (st < num_tiles) & (rank < tile_capacity)
-    S_pad = padded_slots(instance_capacity, num_tiles)
-    dest = jnp.where(keep, aligned_i + rank, S_pad)
-    inst_gauss = (
-        jnp.full((S_pad,), -1, jnp.int32)
-        .at[dest]
-        .set(jnp.where(keep, sg, -1), mode="drop")
-    )
+    inst_gauss = jnp.where(keep, sg, -1)
 
     instance_overflow = jnp.maximum(total - instance_capacity, 0)
     tile_overflow = jnp.sum(jnp.maximum(counts_all - tile_capacity, 0))
     return InstanceBinning(
         inst_gauss=inst_gauss,
         tile_count=clamped,
-        block_start=block_start,
+        tile_start=tile_start[:-1],
         num_instances=total,
         overflow=instance_overflow + tile_overflow,
         overflow_instance=instance_overflow,

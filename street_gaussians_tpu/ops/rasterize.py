@@ -186,7 +186,7 @@ def rasterize(
         from street_gaussians_tpu.ops.tile_raster2 import tile_blend_instances
 
         out = tile_blend_instances(
-            payload, bins.block_start, bins.tile_count, F, grid_x, num_tiles,
+            payload, bins.tile_start, bins.tile_count, F, grid_x, num_tiles,
             config.tile_capacity, config.interpret,
         )
     else:

@@ -3,25 +3,31 @@
 Second-generation layout (v1 in tile_raster.py kept as the
 interpreter-mode path): instances live in ONE packed array of
 128-instance blocks, each tile owning a contiguous, 128-aligned run
-(binning.bin_gaussians_instances). The kernel runs a regular
-(num_tiles, MAX_BLOCKS) grid whose BlockSpec index_map reads the
-scalar-prefetched per-tile block offsets — the Pallas runtime
-double-buffers the 8 KB payload blocks across grid steps automatically,
-so per-tile work is proportional to the actual instance count with no
-dense [T, K] table on the XLA side.
+(binning.bin_gaussians_instances). Tile runs are RAGGED: tile t owns
+rows [tile_start[t], tile_start[t] + count) of the sorted instance
+array with NO 128-alignment (the alignment scatter cost ~13 ms and
+padded every downstream array); boundary blocks are shared between
+adjacent tiles and masked in-kernel by global row range. The kernel
+walks a FLATTENED sequential grid of real (tile, block) pairs — empty
+tiles get one step — with per-step tile/block/flag tables
+scalar-prefetched (a regular (tiles, MAX_BLOCKS) grid wastes ~40% of
+its steps re-visiting tail blocks; grid-step overhead is a first-order
+cost at ~0.7 us/step). The BlockSpec index_map reads the prefetched
+tables, so the Pallas runtime still double-buffers the 8 KB payload
+blocks across steps.
 
 Same math as v1 (= the CUDA reference, forward.cu:340-467 /
 backward.cu:414-641): front-to-back alpha blending with early
 termination, per-pixel-abs AbsGS gradient rows, suffix-sum backward in
-forward order (no atomics; the payload gather's transpose outside the
-kernel scatter-adds per-instance gradients deterministically).
+forward order (no atomics; the payload-block build outside the kernel
+has a sort + segment-sum transpose, ops/rasterize.py).
 
 Payload block layout: [num_blocks(+1 trash), c_pad, 128]; c_pad rows:
   0 mean_x, 1 mean_y, 2 conic_a, 3 conic_b, 4 conic_c, 5 opacity,
   6..6+F features, 6+F..6+F+2 abs-grad dummies (zero).
 The blend-state carry (T, done, accum / u_accum) lives in VMEM scratch,
-persisting across the sequential i-steps of each tile; it is reset at
-i == 0 and the output block is written at the final step.
+persisting across the sequential steps of each tile; it is reset at the
+tile's first step and the output block is written at its last.
 """
 
 from __future__ import annotations
@@ -86,9 +92,77 @@ def _blend_masks(a, cums_incl, T):
     return trigger, blend
 
 
-def _slot_valid(i, cnt):
+def _slot_valid(blk, start, cnt):
+    """Lanes of global payload block `blk` inside [start, start+cnt)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    return i * CHUNK + lane < cnt
+    glob = blk * CHUNK + lane
+    return (glob >= start) & (glob < start + cnt)
+
+
+# --------------------------------------------------------------------------
+# flattened (tile, block) step tables
+# --------------------------------------------------------------------------
+
+
+def _max_steps(num_blocks: int, num_tiles: int) -> int:
+    # every tile has >= 1 step; each of a tile's blocks is one step, and
+    # a block can be shared by adjacent tiles (ragged boundaries), so
+    # charge one extra block per tile
+    return num_blocks + 2 * num_tiles
+
+
+def _tile_nblocks(tile_start, tile_count):
+    """Blocks spanned by the ragged run [start, start + cnt)."""
+    return jnp.where(
+        tile_count > 0,
+        (tile_start % CHUNK + tile_count + CHUNK - 1) // CHUNK,
+        0,
+    )
+
+
+def _flatten_steps(tile_start, tile_count, num_tiles, num_blocks, trash):
+    """Per-step tables for the flattened grid (all traced int32 [MAXC]):
+    tile id, global payload-block index, block-in-tile, last-step flag."""
+    MAXC = _max_steps(num_blocks, num_tiles)
+    nblocks_t = _tile_nblocks(tile_start, tile_count)  # [T]
+    nsteps_t = jnp.maximum(nblocks_t, 1)
+    starts = jnp.cumsum(nsteps_t) - nsteps_t
+    step = jnp.arange(MAXC, dtype=jnp.int32)
+
+    def expand(vals):
+        prev = jnp.concatenate([jnp.zeros((1,), vals.dtype), vals[:-1]])
+        buf = (
+            jnp.zeros((MAXC,), vals.dtype)
+            .at[starts]
+            .add(vals - prev, mode="drop")
+        )
+        return jnp.cumsum(buf)
+
+    tile_of_step = expand(jnp.arange(num_tiles, dtype=jnp.int32))
+    start_of_step = expand(starts.astype(jnp.int32))
+    i_of_step = step - start_of_step
+    nblocks_of_step = expand(nblocks_t.astype(jnp.int32))
+    nsteps_of_step = expand(nsteps_t.astype(jnp.int32))
+    b0_of_step = expand((tile_start // CHUNK).astype(jnp.int32))
+    # block ids are globally NON-DECREASING across real steps (runs are
+    # contiguous); empty/tail steps carry the previous real block so an
+    # output block is never left and revisited (Pallas would not refetch
+    # it). A ragged boundary block is shared by adjacent tiles — the
+    # backward ACCUMULATES into it, so mark the first writing step.
+    real = i_of_step < nblocks_of_step
+    blk_mono = jax.lax.cummax(jnp.where(real, b0_of_step + i_of_step, 0))
+    prev_blk = jnp.concatenate([jnp.full((1,), -1, jnp.int32), blk_mono[:-1]])
+    # the cummax fill value 0 collides with block id 0: when leading
+    # tiles are empty, the first REAL step writing block 0 would see
+    # blk_mono == prev_blk and accumulate into uninitialized VMEM
+    # (interpret mode zero-fills outputs, hiding it) — force wf=1 on
+    # the first real step unconditionally
+    first_real = real & (jnp.cumsum(real.astype(jnp.int32)) == 1)
+    write_first = (real & ((blk_mono > prev_blk) | first_real)).astype(
+        jnp.int32
+    )
+    last_of_step = (i_of_step == nsteps_of_step - 1).astype(jnp.int32)
+    return tile_of_step, blk_mono, i_of_step, last_of_step, write_first
 
 
 # --------------------------------------------------------------------------
@@ -97,7 +171,12 @@ def _slot_valid(i, cnt):
 
 
 def _fwd_kernel(
-    bs_ref,
+    ts_ref,
+    blk_idx_ref,
+    io_ref,
+    last_ref,
+    wf_ref,
+    start_ref,
     cnt_ref,
     blk_ref,
     out_ref,
@@ -107,13 +186,14 @@ def _fwd_kernel(
     *,
     num_features,
     grid_x,
-    max_blocks,
 ):
     F = num_features
-    t = pl.program_id(0)
-    i = pl.program_id(1)
+    s = pl.program_id(0)
+    t = ts_ref[s]
+    i = io_ref[s]
+    start = start_ref[t]
     cnt = cnt_ref[t]
-    nblocks = pl.cdiv(cnt, CHUNK)
+    nblocks = jnp.where(cnt > 0, (start % CHUNK + cnt + CHUNK - 1) // CHUNK, 0)
 
     @pl.when(i == 0)
     def _():
@@ -127,7 +207,7 @@ def _fwd_kernel(
         T = T_s[...]
         done = done_s[...]
         a, logs, cums_incl, _ = _block_alpha(
-            blk_ref, px, py, done, _slot_valid(i, cnt)
+            blk_ref, px, py, done, _slot_valid(blk_idx_ref[s], start, cnt)
         )
         trigger, blend = _blend_masks(a, cums_incl, T)
         w = jnp.where(blend, a * T * jnp.exp(cums_incl - logs), 0.0)
@@ -144,7 +224,7 @@ def _fwd_kernel(
             done, jnp.max(trigger.astype(jnp.float32), axis=1, keepdims=True)
         )
 
-    @pl.when(i == max_blocks - 1)
+    @pl.when(last_ref[s] == 1)
     def _():
         out_ref[0, :, 0:F] = accum_s[...]
         out_ref[0, :, F : F + 1] = T_s[...]
@@ -156,7 +236,12 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    bs_ref,
+    ts_ref,
+    blk_idx_ref,
+    io_ref,
+    last_ref,
+    wf_ref,
+    start_ref,
     cnt_ref,
     blk_ref,
     out_res_ref,
@@ -168,13 +253,14 @@ def _bwd_kernel(
     *,
     num_features,
     grid_x,
-    max_blocks,
 ):
     F = num_features
-    t = pl.program_id(0)
-    i = pl.program_id(1)
+    s = pl.program_id(0)
+    t = ts_ref[s]
+    i = io_ref[s]
+    start = start_ref[t]
     cnt = cnt_ref[t]
-    nblocks = pl.cdiv(cnt, CHUNK)
+    nblocks = jnp.where(cnt > 0, (start % CHUNK + cnt + CHUNK - 1) // CHUNK, 0)
 
     @pl.when(i == 0)
     def _():
@@ -195,7 +281,7 @@ def _bwd_kernel(
         T = T_s[...]
         done = done_s[...]
         a, logs, cums_incl, extras = _block_alpha(
-            blk_ref, px, py, done, _slot_valid(i, cnt)
+            blk_ref, px, py, done, _slot_valid(blk_idx_ref[s], start, cnt)
         )
         dx, dy, ca, cb, cc, apow, alpha_raw = extras
         trigger, blend = _blend_masks(a, cums_incl, T)
@@ -217,29 +303,36 @@ def _bwd_kernel(
         unclamped = alpha_raw <= ALPHA_MAX
         da_eff = jnp.where(unclamped, da, 0.0)
         dpow = alpha_raw * da_eff
-        dblk_ref[0, 0:1, :] = jnp.sum(-(ca * dx + cb * dy) * dpow, axis=0, keepdims=True)
-        dblk_ref[0, 1:2, :] = jnp.sum(-(cc * dy + cb * dx) * dpow, axis=0, keepdims=True)
-        dblk_ref[0, 2:3, :] = jnp.sum(-0.5 * dx * dx * dpow, axis=0, keepdims=True)
-        dblk_ref[0, 3:4, :] = jnp.sum(-dx * dy * dpow, axis=0, keepdims=True)
-        dblk_ref[0, 4:5, :] = jnp.sum(-0.5 * dy * dy * dpow, axis=0, keepdims=True)
-        dblk_ref[0, 5:6, :] = jnp.sum(apow * da_eff, axis=0, keepdims=True)
-        dblk_ref[0, PAYLOAD_HEADER : PAYLOAD_HEADER + F, :] = jax.lax.dot_general(
-            g,
-            w,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dblk_ref[0, PAYLOAD_HEADER + F : PAYLOAD_HEADER + F + 1, :] = jnp.sum(
-            jnp.abs((ca * dx + cb * dy) * dpow), axis=0, keepdims=True
-        )
-        dblk_ref[0, PAYLOAD_HEADER + F + 1 : PAYLOAD_HEADER + F + 2, :] = jnp.sum(
-            jnp.abs((cc * dy + cb * dx) * dpow), axis=0, keepdims=True
-        )
+        rows = [
+            jnp.sum(-(ca * dx + cb * dy) * dpow, axis=0, keepdims=True),
+            jnp.sum(-(cc * dy + cb * dx) * dpow, axis=0, keepdims=True),
+            jnp.sum(-0.5 * dx * dx * dpow, axis=0, keepdims=True),
+            jnp.sum(-dx * dy * dpow, axis=0, keepdims=True),
+            jnp.sum(-0.5 * dy * dy * dpow, axis=0, keepdims=True),
+            jnp.sum(apow * da_eff, axis=0, keepdims=True),
+            jax.lax.dot_general(
+                g,
+                w,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ),
+            jnp.sum(jnp.abs((ca * dx + cb * dy) * dpow), axis=0, keepdims=True),
+            jnp.sum(jnp.abs((cc * dy + cb * dx) * dpow), axis=0, keepdims=True),
+        ]
         pad0 = payload_rows(F) - (PAYLOAD_HEADER + F + ABS_ROWS)
         if pad0 > 0:
-            dblk_ref[0, PAYLOAD_HEADER + F + ABS_ROWS :, :] = jnp.zeros(
-                (pad0, CHUNK), jnp.float32
-            )
+            rows.append(jnp.zeros((pad0, CHUNK), jnp.float32))
+        new_rows = jnp.concatenate(rows, axis=0)  # [c_pad, CHUNK]
+
+        # ragged boundary blocks are shared between adjacent tiles:
+        # first writer sets, later writers accumulate
+        @pl.when(wf_ref[s] == 1)
+        def _():
+            dblk_ref[0] = new_rows
+
+        @pl.when(wf_ref[s] == 0)
+        def _():
+            dblk_ref[0] = dblk_ref[0] + new_rows
 
         logs_eff = jnp.where(blend, logs, 0.0)
         T_s[...] = T * jnp.exp(jnp.sum(logs_eff, axis=1, keepdims=True))
@@ -254,40 +347,30 @@ def _bwd_kernel(
 # --------------------------------------------------------------------------
 
 
-def _max_blocks(tile_capacity: int) -> int:
-    return (tile_capacity + CHUNK - 1) // CHUNK
-
-
-def _in_block_index(t, i, bs_ref, cnt_ref, trash_block):
-    """Dynamic payload-block index from the prefetched offsets. Tail
-    steps re-point at the tile's last block (no refetch); empty tiles
-    point at the dedicated trash block."""
-    nb = pl.cdiv(cnt_ref[t], CHUNK)
-    idx = bs_ref[t] + jnp.minimum(i, jnp.maximum(nb - 1, 0))
-    return (jnp.where(nb > 0, idx, trash_block), 0, 0)
-
-
-def _fwd_call(payload, block_start, tile_count, num_features, grid_x, num_tiles,
+def _fwd_call(payload, tile_start, tile_count, num_features, grid_x, num_tiles,
               tile_capacity, interpret):
     nb_total, c_pad, _ = payload.shape  # includes the +1 trash block
     F = num_features
-    MAXB = _max_blocks(tile_capacity)
-    kernel = functools.partial(
-        _fwd_kernel, num_features=F, grid_x=grid_x, max_blocks=MAXB
-    )
     trash = nb_total - 1
+    ts, blks, ios, lasts, wfs = _flatten_steps(
+        tile_start, tile_count, num_tiles, nb_total - 1, trash
+    )
+    MAXC = ts.shape[0]
+    kernel = functools.partial(_fwd_kernel, num_features=F, grid_x=grid_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_tiles, MAXB),
+        num_scalar_prefetch=7,
+        grid=(MAXC,),
         in_specs=[
             pl.BlockSpec(
                 (1, c_pad, CHUNK),
-                functools.partial(_in_block_index, trash_block=trash),
+                lambda s, ts_, blk_, io_, la_, wf_, st_, cnt_: (blk_[s], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, PIX, F + 1), lambda t, i, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            (1, PIX, F + 1),
+            lambda s, ts_, blk_, io_, la_, wf_, st_, cnt_: (ts_[s], 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((PIX, 1), jnp.float32),
@@ -300,32 +383,44 @@ def _fwd_call(payload, block_start, tile_count, num_features, grid_x, num_tiles,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, F + 1), jnp.float32),
         interpret=interpret,
-    )(block_start, tile_count, payload)
+    )(ts, blks, ios, lasts, wfs, tile_start, tile_count, payload)
 
 
-def _bwd_call(payload, block_start, tile_count, out_res, gout, num_features,
+def _bwd_call(payload, tile_start, tile_count, out_res, gout, num_features,
               grid_x, num_tiles, tile_capacity, interpret):
     nb_total, c_pad, _ = payload.shape
     F = num_features
-    MAXB = _max_blocks(tile_capacity)
-    kernel = functools.partial(
-        _bwd_kernel, num_features=F, grid_x=grid_x, max_blocks=MAXB
-    )
     trash = nb_total - 1
-    idx_fn = functools.partial(_in_block_index, trash_block=trash)
+    ts, blks, ios, lasts, wfs = _flatten_steps(
+        tile_start, tile_count, num_tiles, nb_total - 1, trash
+    )
+    MAXC = ts.shape[0]
+    kernel = functools.partial(_bwd_kernel, num_features=F, grid_x=grid_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_tiles, MAXB),
+        num_scalar_prefetch=7,
+        grid=(MAXC,),
         in_specs=[
-            pl.BlockSpec((1, c_pad, CHUNK), idx_fn, memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, PIX, F + 1), lambda t, i, *_: (t, 0, 0), memory_space=pltpu.VMEM
+                (1, c_pad, CHUNK),
+                lambda s, ts_, blk_, io_, la_, wf_, st_, cnt_: (blk_[s], 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, PIX, F + 1), lambda t, i, *_: (t, 0, 0), memory_space=pltpu.VMEM
+                (1, PIX, F + 1),
+                lambda s, ts_, blk_, io_, la_, wf_, st_, cnt_: (ts_[s], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, PIX, F + 1),
+                lambda s, ts_, blk_, io_, la_, wf_, st_, cnt_: (ts_[s], 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec((1, c_pad, CHUNK), idx_fn, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, c_pad, CHUNK),
+            lambda s, ts_, blk_, io_, la_, wf_, st_, cnt_: (blk_[s], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
         scratch_shapes=[
             pltpu.VMEM((PIX, 1), jnp.float32),
             pltpu.VMEM((PIX, 1), jnp.float32),
@@ -337,40 +432,40 @@ def _bwd_call(payload, block_start, tile_count, out_res, gout, num_features,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb_total, c_pad, CHUNK), jnp.float32),
         interpret=interpret,
-    )(block_start, tile_count, payload, out_res, gout)
+    )(ts, blks, ios, lasts, wfs, tile_start, tile_count, payload, out_res, gout)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def tile_blend_instances(
-    payload, block_start, tile_count, num_features, grid_x, num_tiles,
+    payload, tile_start, tile_count, num_features, grid_x, num_tiles,
     tile_capacity, interpret=False,
 ):
-    """Alpha-blend instance-major payload blocks.
+    """Alpha-blend instance-major payload blocks (ragged tile runs).
 
     payload: [num_blocks + 1, c_pad, 128] f32 — the final block is a
-    trash target for empty tiles (layout in module docstring);
-    block_start/tile_count: [num_tiles] int32.
+    trash target for empty/tail steps (layout in module docstring);
+    tile_start/tile_count: [num_tiles] int32 ragged run descriptors.
     Returns [num_tiles, 256, F+1].
     """
     return _fwd_call(
-        payload, block_start, tile_count, num_features, grid_x, num_tiles,
+        payload, tile_start, tile_count, num_features, grid_x, num_tiles,
         tile_capacity, interpret,
     )
 
 
-def _fwd_rule(payload, block_start, tile_count, num_features, grid_x, num_tiles,
+def _fwd_rule(payload, tile_start, tile_count, num_features, grid_x, num_tiles,
               tile_capacity, interpret):
     out = _fwd_call(
-        payload, block_start, tile_count, num_features, grid_x, num_tiles,
+        payload, tile_start, tile_count, num_features, grid_x, num_tiles,
         tile_capacity, interpret,
     )
-    return out, (payload, block_start, tile_count, out)
+    return out, (payload, tile_start, tile_count, out)
 
 
 def _bwd_rule(num_features, grid_x, num_tiles, tile_capacity, interpret, res, gout):
-    payload, block_start, tile_count, out = res
+    payload, tile_start, tile_count, out = res
     d_payload = _bwd_call(
-        payload, block_start, tile_count, out, gout,
+        payload, tile_start, tile_count, out, gout,
         num_features, grid_x, num_tiles, tile_capacity, interpret,
     )
     return d_payload, None, None

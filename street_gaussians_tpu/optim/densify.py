@@ -281,6 +281,13 @@ def densify_and_prune(
         points_split=jnp.sum(split),
         points_pruned=jnp.sum(prune & ~split),
         points_dropped=jnp.sum(valid_a & ~ok_a) + jnp.sum(valid_b & ~ok_b),
+        # rows where the documented ordering deviation (module docstring)
+        # could matter at all: a clone/split candidate that is ALSO
+        # low-opacity-pruned this round. Logged so real runs can verify
+        # the "difference is nil in practice" claim with data.
+        points_order_sensitive=jnp.sum(
+            (clone | split) & (opacity < cfg.min_opacity)
+        ),
     )
     return new_params, new_adam, new_aux, diag
 

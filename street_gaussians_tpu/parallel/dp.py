@@ -193,3 +193,32 @@ def make_data_parallel_train_step(
     wrapped.mesh = mesh
     wrapped.n_data = n_data
     return wrapped
+
+
+def init_multihost() -> None:
+    """Initialize JAX's multi-host runtime (DCN) when launched under a
+    multi-process coordinator (one process per host; TPU pods set the
+    coordinator env automatically). Call before any jax API. Safe no-op
+    in single-process runs."""
+    import jax
+
+    try:
+        if jax.process_count() > 1:
+            return  # already initialized by the launcher
+        jax.distributed.initialize()
+    except Exception:
+        pass  # single-host
+
+
+def make_multihost_mesh(data_per_host: int = None) -> Mesh:
+    """'data' mesh spanning ALL hosts' devices: gradient all-reduce
+    rides ICI within a host/slice and DCN across hosts — the
+    BASELINE.md >=85%-to-2-hosts scaling target. Use with
+    `make_data_parallel_train_step` unchanged (shard_map only sees the
+    mesh); each host feeds its local cameras via
+    jax.make_array_from_process_local_data on the stacked batch."""
+    import jax
+
+    devices = jax.devices()  # global, ordered host-major
+    n = len(devices) if data_per_host is None else data_per_host * jax.process_count()
+    return Mesh(np.array(devices[:n]), axis_names=("data",))

@@ -419,6 +419,9 @@ def training(cfg: Config, progress: bool = True) -> Dict:
                 key, sub = jax.random.split(key)
                 prune_big = jnp.asarray(iteration > o.opacity_reset_interval)
                 state, ddiag = densify_fn(state, sub, prune_big)
+                rec = {f"densify/{k}": int(v) for k, v in ddiag.items()}
+                rec["iteration"] = iteration
+                log_f.write(json.dumps(rec) + "\n")
             if iteration % o.opacity_reset_interval == 0:
                 state = reset_fn(state)
             if (

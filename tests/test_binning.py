@@ -51,18 +51,18 @@ def test_instance_binning_matches_table(seed, tile_capacity):
     )
 
     ig = np.asarray(inst.inst_gauss)
-    bs = np.asarray(inst.block_start)
+    ts = np.asarray(inst.tile_start)
     tc = np.asarray(inst.tile_count)
     tg = np.asarray(table.tile_gauss)
+    kept = np.zeros(ig.shape[0], bool)
     for t in range(grid_x * grid_y):
-        start = bs[t] * 128
+        start = ts[t]
         got = ig[start : start + tc[t]]
         want = tg[t, : tc[t]]
         np.testing.assert_array_equal(got, want)
-        # padding slots of the run are empty
-        nb = (tc[t] + 127) // 128
-        pad = ig[start + tc[t] : start + nb * 128]
-        assert (pad == -1).all()
+        kept[start : start + tc[t]] = True
+    # every slot outside a kept range is marked dropped
+    assert (ig[~kept] == -1).all()
 
 
 def test_empty_scene():
@@ -94,6 +94,7 @@ def test_single_tile_overflow():
     cap = 16
     inst = B.bin_gaussians_instances(screen, 1, 1, 2 ** 10, cap)
     assert int(inst.tile_count[0]) == cap
+    assert int(inst.tile_start[0]) == 0
     kept = np.asarray(inst.inst_gauss[:cap])
     order = np.argsort(depth, kind="stable")
     np.testing.assert_array_equal(kept, order[:cap])
@@ -137,3 +138,75 @@ def test_payload_blocks_vjp_matches_naive(seed):
     g1 = jax.grad(loss_structured)(src)
     g2 = jax.grad(loss_naive)(src)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+
+
+def test_instance_overflow_with_trailing_empty_tiles():
+    """total instances > instance_capacity AND trailing tiles empty:
+    run descriptors must stay inside the array (regression: the cummin
+    fill value `total` exceeded S and produced out-of-bounds payload
+    block indices at real scale)."""
+    grid_x, grid_y = 4, 4
+    # all gaussians in the top-left tile; bottom rows empty
+    n = 64
+    rng = np.random.default_rng(5)
+    screen = GaussianScreenData(
+        mean2d=jnp.zeros((n, 2)),
+        depth=jnp.asarray(rng.uniform(1, 50, n).astype(np.float32)),
+        conic=jnp.zeros((n, 3)),
+        radius=jnp.ones((n,)),
+        rgb=jnp.zeros((n, 3)),
+        opacity=jnp.zeros((n,)),
+        valid=jnp.ones((n,), bool),
+        rect_min=jnp.zeros((n, 2), jnp.int32),
+        rect_max=jnp.ones((n, 2), jnp.int32),
+        tiles_touched=jnp.ones((n,), jnp.int32),
+    )
+    IC = 32  # < total of 64 -> instance overflow
+    inst = B.bin_gaussians_instances(screen, grid_x, grid_y, IC, 16)
+    ts = np.asarray(inst.tile_start)
+    tc = np.asarray(inst.tile_count)
+    assert (ts >= 0).all() and (ts <= IC).all()
+    assert ((ts + tc) <= IC).all()
+    assert int(inst.overflow_instance) == 32
+    assert int(inst.tile_count[0]) == 16  # tile capacity still applies
+    # trailing empty tiles have zero counts
+    assert (tc[1:] == 0).all()
+
+
+def test_flatten_steps_first_real_step_writes():
+    """Leading EMPTY tiles share block id 0 with the cummax fill value:
+    the first real step writing block 0 must still have write_first=1,
+    or the backward accumulates into uninitialized VMEM (regression;
+    invisible in interpret mode, which zero-fills outputs)."""
+    from street_gaussians_tpu.ops import tile_raster2 as R2
+
+    num_tiles = 6
+    # tiles 0..3 empty; tile 4 owns rows [0, 200); tile 5 rows [200, 230)
+    tile_start = jnp.array([0, 0, 0, 0, 0, 200], jnp.int32)
+    tile_count = jnp.array([0, 0, 0, 0, 200, 30], jnp.int32)
+    nb = (230 + 127) // 128  # 2 real blocks
+    ts, blks, ios, lasts, wfs = R2._flatten_steps(
+        tile_start, tile_count, num_tiles, nb, nb
+    )
+    ts, blks, ios, lasts, wfs = map(np.asarray, (ts, blks, ios, lasts, wfs))
+    nblocks = np.asarray(
+        R2._tile_nblocks(tile_start, tile_count), dtype=np.int64
+    )
+    real = np.zeros_like(wfs, bool)
+    step = 0
+    for t in range(num_tiles):
+        for i in range(max(int(nblocks[t]), 1)):
+            real[step] = i < nblocks[t]
+            step += 1
+    # every real step's block gets written-first exactly once
+    written = set()
+    for s in range(len(wfs)):
+        if not real[s]:
+            assert wfs[s] == 0
+            continue
+        if blks[s] not in written:
+            assert wfs[s] == 1, f"step {s} block {blks[s]} never initialized"
+            written.add(blks[s])
+        else:
+            assert wfs[s] == 0 or blks[s] not in written
+    assert written == set(range(nb))

@@ -1,0 +1,92 @@
+"""Exercise the offline preprocessing scripts' CLI paths end-to-end on
+synthetic data (VERDICT r1 item 8: every parity row needs a test or a
+CLI run behind it)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_gradient_sky_mask_plausible():
+    """The classical sky-mask fallback must find an obvious sky region
+    (bright blue, top-connected) and reject dark ground."""
+    sys.path.insert(0, os.path.join(REPO, "script", "waymo"))
+    from generate_sky_mask import gradient_sky_mask
+
+    H, W = 120, 160
+    img = np.zeros((H, W, 3), np.uint8)  # BGR
+    img[: H // 2] = (235, 206, 135)  # light blue sky
+    img[H // 2 :] = (40, 42, 45)  # dark road
+    # a dark building poking into the sky, connected to the ground
+    img[20 : H // 2, 100:130] = (30, 30, 35)
+
+    mask = gradient_sky_mask(img) > 0
+    sky_region = mask[: H // 4, :90]
+    ground_region = mask[3 * H // 4 :]
+    building_region = mask[30 : H // 2 - 5, 105:125]
+    assert sky_region.mean() > 0.95
+    assert ground_region.mean() < 0.05
+    assert building_region.mean() < 0.05
+
+
+def test_generate_sky_mask_cli(tmp_path):
+    import cv2
+
+    seq = tmp_path / "seq"
+    (seq / "images").mkdir(parents=True)
+    H, W = 60, 80
+    img = np.zeros((H, W, 3), np.uint8)
+    img[: H // 2] = (235, 206, 135)
+    img[H // 2 :] = (40, 42, 45)
+    cv2.imwrite(str(seq / "images" / "000000_0.png"), img)
+
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "script", "waymo", "generate_sky_mask.py"),
+            "--datadir",
+            str(seq),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr
+    out = seq / "sky_mask" / "000000_0.png"
+    assert out.exists()
+    mask = cv2.imread(str(out), cv2.IMREAD_GRAYSCALE) > 0
+    assert mask[: H // 4].mean() > 0.9
+    assert mask[3 * H // 4 :].mean() < 0.1
+
+
+def test_generate_lidar_depth_cli(tmp_path):
+    """Depth script over the synthetic sequence: sparse npy with
+    plausible values."""
+    from street_gaussians_tpu.data.synthetic_waymo import write_synthetic_waymo
+
+    seq = str(tmp_path / "seq")
+    write_synthetic_waymo(seq, num_frames=2, cameras=(0,))
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "script", "waymo", "generate_lidar_depth.py"),
+            "--datadir",
+            seq,
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr
+    depth_dir = os.path.join(seq, "lidar_depth")
+    files = sorted(os.listdir(depth_dir))
+    assert files
+    d = np.load(os.path.join(depth_dir, files[0]), allow_pickle=True).item()
+    assert d["mask"].any()
+    vals = d["value"]
+    assert np.isfinite(vals).all() and (vals > 0).all()
