@@ -54,12 +54,19 @@ def _bilinear_taps(flat, base, e4, R, interpret=False):
     jitter, neither learnable (the reference's nvdiffrast uv-gradients
     equally die at non-learnable rays, lib/models/sky_cubemap.py:99-119).
     """
-    T = flat.shape[0]
-    acc = 0.0
-    for t, off in enumerate((0, 1, R, R + 1)):
-        idx = jnp.minimum(base + off, T - 1)  # weight 0 when clamped
-        acc = acc + e4[..., t : t + 1] * jnp.take(flat, idx, axis=0)
-    return acc
+    # ONE wide gather instead of 4 narrow ones: pre-shift the table into
+    # [T, 12] rows holding texels (i, i+1, i+R, i+R+1) — 3 static rolls,
+    # ~48 MB of sequential HBM traffic — so the random-access phase
+    # reads one 48-byte row per pixel. Measured 42 -> 27 ms at 1600 px:
+    # gather cost is per-ROW latency-dominated, so halving tap count
+    # beats halving bytes (bf16 table saved only 5 ms more). Rolled-in
+    # wrap values are dead: border folding gives any tap that would
+    # cross a row/face boundary zero weight.
+    tbl = jnp.concatenate(
+        [jnp.roll(flat, -off, axis=0) for off in (0, 1, R, R + 1)], axis=1
+    )
+    taps = jnp.take(tbl, base, axis=0).reshape(*base.shape, 4, 3)
+    return jnp.sum(e4[..., None] * taps, axis=-2)
 
 
 def _bt_fwd(flat, base, e4, R, interpret):
@@ -75,7 +82,12 @@ def _bt_bwd(R, interpret, res, d_out):
     keys = base.reshape(-1)  # [P]
     # 12 channels: tap-plane-major (e_t * d_rgb)
     vals = (e4[..., :, None] * d_out[..., None, :]).reshape(P, 4 * C)
-    cap = 2048
+    # cap/group tuned on v5e (texel space 6.3M >> 1.7M entries, so the
+    # banded matmul is sparse: small cap bounds per-step flops, big
+    # group amortizes step overhead): 2048/512 = 69 ms, 512/1024 = 39 ms
+    # at the 1600 px bench shape. skip_empty skips the >60% of texel
+    # groups outside the camera cone entirely.
+    cap = 512
     L = _round_up(P, cap)
     keys = jnp.pad(keys, (0, L - P), constant_values=segsum_lib.BIG)
     vals = jnp.pad(vals, ((0, L - P), (0, 0)))
@@ -84,12 +96,12 @@ def _bt_bwd(R, interpret, res, d_out):
     )
     skeys = srt[0]
     svals = jnp.stack(srt[1:], axis=0)  # [4C, L]
-    group = 512
+    group = 1024
     Tp = _round_up(T, group)
     texel = jnp.arange(Tp, dtype=jnp.int32)
     planes = segsum_lib.segment_rowsum(
         svals, skeys, texel, texel + 1, cap=cap, group=group,
-        interpret=interpret,
+        skip_empty=True, interpret=interpret,
     )[:T].reshape(T, 4, C)
     # tap plane for offset `off` accumulated at `base` belongs to texel
     # base + off: shift each plane down by its offset (live taps never

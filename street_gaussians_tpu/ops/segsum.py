@@ -43,38 +43,47 @@ def _kernel(
     d_ref,
     offs_ref,
     ends_ref,
-    out_ref,
-    *,
+    *rest,
     cap,
+    has_init=False,
+    precision=None,
 ):
+    out_ref = rest[-1]  # rest = (init_ref, out_ref) if has_init
     s = pl.program_id(0)
     first = first_of_step[s]
     valid = valid_of_step[s]
 
-    k = keys_ref[0, :]  # [cap] int32
-    # offs/ends blocks hold 8 groups (TPU sublane tiling); select ours
-    group = offs_ref.shape[1]
-    row = group_of_step[s] % 8
-    sel = jax.lax.broadcasted_iota(jnp.int32, (8, group), 0) == row
-    o = jnp.sum(jnp.where(sel, offs_ref[...], 0), axis=0)  # [group]
-    e = jnp.sum(jnp.where(sel, ends_ref[...], 0), axis=0)  # [group]
-    A = (k[None, :] >= o[:, None]) & (k[None, :] < e[:, None])  # [group, cap]
-    Af = jnp.where(valid > 0, A.astype(jnp.float32), 0.0)
-    blk = d_ref[...]  # [C, cap]
-    partial = jax.lax.dot_general(
-        Af,
-        blk,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [GROUP, C]
-
-    @pl.when(first > 0)
+    # tail (valid=0) steps skip compute AND writes entirely: they revisit
+    # an already-written block, so leaving VMEM untouched is correct, and
+    # predicating the matmul makes over-provisioned MAXC steps ~free
+    # (first-order when skip_empty leaves most steps as tail).
+    @pl.when(valid > 0)
     def _():
-        out_ref[0] = partial
+        k = keys_ref[0, :]  # [cap] int32
+        # offs/ends blocks hold 8 groups (TPU sublane tiling); select ours
+        group = offs_ref.shape[1]
+        row = group_of_step[s] % 8
+        sel = jax.lax.broadcasted_iota(jnp.int32, (8, group), 0) == row
+        o = jnp.sum(jnp.where(sel, offs_ref[...], 0), axis=0)  # [group]
+        e = jnp.sum(jnp.where(sel, ends_ref[...], 0), axis=0)  # [group]
+        A = (k[None, :] >= o[:, None]) & (k[None, :] < e[:, None])
+        Af = A.astype(jnp.float32)  # [group, cap]
+        blk = d_ref[...]  # [C, cap]
+        partial = jax.lax.dot_general(
+            Af,
+            blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # [GROUP, C]
 
-    @pl.when(first == 0)
-    def _():
-        out_ref[0] = out_ref[0] + partial
+        @pl.when(first > 0)
+        def _():
+            out_ref[0] = partial
+
+        @pl.when(first == 0)
+        def _():
+            out_ref[0] = out_ref[0] + partial
 
 
 def segment_rowsum(
@@ -85,6 +94,8 @@ def segment_rowsum(
     *,
     cap: int = 1024,
     group: int = GROUP,
+    skip_empty: bool = False,
+    precision=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Sum rows of `d_chan` into per-segment totals.
@@ -99,6 +110,20 @@ def segment_rowsum(
       of `group` (pad with offs=ends).
     group: segments per output block — raise it (e.g. 512) when N is
       large and segments are tiny, to amortize per-grid-step overhead.
+    skip_empty: give groups with ZERO entries no grid step at all; their
+      output blocks come from a zero-initialized aliased buffer instead.
+      Pays one [N, C] memset; wins when the keys cover a small or
+      clustered part of the segment space (the sky cubemap backward: a
+      camera cone touches <2 of 6 faces, so >60% of texel groups are
+      empty). Bit-identical to the dense walk.
+    precision: matmul precision for the banded reduction. At the TPU
+      default (None), the MXU rounds each ADDEND to bf16 before the f32
+      accumulation (A is 0/1, exact in bf16, so the result is bit-equal
+      to summing bf16-rounded rows in f32 — verified vs oracle). This is
+      the deliberate fast path: gradient addends at ~4e-3 relative
+      rounding are far below inter-step sampling noise (demo-scene
+      convergence is unaffected). Pass jax.lax.Precision.HIGHEST for
+      ~f32-exact sums at 3x the MXU passes.
     Returns [N, C] f32.
     """
     C, L = d_chan.shape
@@ -121,6 +146,8 @@ def segment_rowsum(
     b1 = jnp.clip((jnp.maximum(row1, row0 + 1) - 1) // cap, 0, num_blocks - 1)
     b1 = jnp.maximum(b0, b1)
     nchunks = b1 - b0 + 1  # >= 1 always
+    if skip_empty:
+        nchunks = jnp.where(row1 > row0, nchunks, 0)
 
     # ---- flatten (group, chunk) into one sequential step axis via the
     # delta-scatter + cumsum expansion (no gathers) ----
@@ -139,49 +166,43 @@ def segment_rowsum(
     block_of_step = b0_of_step + (step - start_of_step)
     first_of_step = (step == start_of_step).astype(jnp.int32)
     valid_of_step = (step < total).astype(jnp.int32)
-    # tail steps: revisit the last group's block harmlessly (valid=0)
+    # tail steps: no compute, no writes. Without skip_empty they revisit
+    # the last group's block (always already written); with skip_empty
+    # they must NOT target a possibly-never-written block (its VMEM
+    # buffer would be copied back as garbage over the aliased zeros), so
+    # they park on a trash output block G.
+    tail_group = G if skip_empty else G - 1
     block_of_step = jnp.where(
         valid_of_step > 0, jnp.clip(block_of_step, 0, num_blocks - 1), b1[-1]
     )
-    group_of_step = jnp.where(valid_of_step > 0, group_of_step, G - 1)
+    group_of_step = jnp.where(valid_of_step > 0, group_of_step, tail_group)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(MAXC,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, cap),
-                lambda s, g_, b_, f_, v_: (0, b_[s]),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (C, cap),
-                lambda s, g_, b_, f_, v_: (0, b_[s]),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (8, group),
-                lambda s, g_, b_, f_, v_: (g_[s] // 8, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (8, group),
-                lambda s, g_, b_, f_, v_: (g_[s] // 8, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, group, C),
-            lambda s, g_, b_, f_, v_: (g_[s], 0, 0),
+    in_specs = [
+        pl.BlockSpec(
+            (1, cap),
+            lambda s, g_, b_, f_, v_: (0, b_[s]),
             memory_space=pltpu.VMEM,
         ),
-    )
-    out = pl.pallas_call(
-        functools.partial(_kernel, cap=cap),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((G, group, C), jnp.float32),
-        interpret=interpret,
-    )(
+        pl.BlockSpec(
+            (C, cap),
+            lambda s, g_, b_, f_, v_: (0, b_[s]),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (8, group),
+            lambda s, g_, b_, f_, v_: (g_[s] // 8, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (8, group),
+            lambda s, g_, b_, f_, v_: (g_[s] // 8, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    # with skip_empty the group axis gains a trash block G for tail steps
+    Gp = G + 1 if skip_empty else G
+    pad8 = (-Gp) % 8 + (Gp - G)
+    inputs = [
         group_of_step,
         block_of_step,
         first_of_step,
@@ -189,8 +210,41 @@ def segment_rowsum(
         keys[None, :],
         d_chan,
         # pad the group axis to the (8, 128) int32 tile height; padding
-        # rows are never selected (group_of_step stays < G)
-        jnp.pad(og, ((0, (-G) % 8, ), (0, 0)), constant_values=BIG),
-        jnp.pad(eg, ((0, (-G) % 8, ), (0, 0)), constant_values=BIG),
+        # rows are never selected (valid steps keep group_of_step < G)
+        jnp.pad(og, ((0, pad8), (0, 0)), constant_values=BIG),
+        jnp.pad(eg, ((0, pad8), (0, 0)), constant_values=BIG),
+    ]
+    aliases = {}
+    if skip_empty:
+        # zero-initialized buffer aliased to the output: groups with no
+        # entries get no grid step, so their blocks must pre-exist.
+        # (alias indices count the scalar-prefetch operands)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, group, C),
+                lambda s, g_, b_, f_, v_: (g_[s], 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(jnp.zeros((Gp, group, C), jnp.float32))
+        aliases = {4 + 4: 0}
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(MAXC,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, group, C),
+            lambda s, g_, b_, f_, v_: (g_[s], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
     )
-    return out.reshape(N, C)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, cap=cap, has_init=skip_empty, precision=precision
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Gp, group, C), jnp.float32),
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(*inputs)
+    return out[:G].reshape(N, C)

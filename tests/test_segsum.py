@@ -1,0 +1,128 @@
+"""Direct unit tests for the banded-matmul segment row-sum kernel.
+
+The op is the TPU replacement for the CUDA backward's atomicAdd
+reduction (ref: cuda_rasterizer/backward.cu:568-638); these tests pin
+its contract against a numpy oracle, including the skip_empty fast
+path (empty segment groups get no grid step) and the tail-step
+handling around it.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from street_gaussians_tpu.ops import segsum
+
+
+def _oracle(d_chan, keys, offs, ends):
+    C, L = d_chan.shape
+    N = offs.shape[0]
+    out = np.zeros((N, C), np.float32)
+    for g in range(N):
+        m = (keys >= offs[g]) & (keys < ends[g])
+        out[g] = d_chan[:, m].sum(axis=1)
+    return out
+
+
+def _make(rng, n_seg, n_rows, cap, group, empty_frac=0.0):
+    """Contiguous non-overlapping segments over a sorted key array."""
+    # segment sizes; a fraction forced empty
+    sizes = rng.integers(0, 7, size=n_seg)
+    sizes[rng.random(n_seg) < empty_frac] = 0
+    while sizes.sum() > n_rows:
+        sizes[rng.integers(n_seg)] = 0
+    offs = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int32)
+    ends = (offs + sizes).astype(np.int32)
+    used = int(sizes.sum())
+    keys = np.concatenate(
+        [
+            np.concatenate([np.full(s, i, np.int32) for i, s in enumerate(sizes)])
+            if used
+            else np.zeros(0, np.int32),
+            np.full(n_rows - used, int(segsum.BIG), np.int32),
+        ]
+    )
+    # keys must equal positions covered by [offs, ends): key of row j is
+    # its own index in the sorted order
+    keys = np.concatenate(
+        [np.arange(used, dtype=np.int32), np.full(n_rows - used, int(segsum.BIG), np.int32)]
+    )
+    L = -(-n_rows // cap) * cap
+    keys = np.pad(keys, (0, L - n_rows), constant_values=int(segsum.BIG))
+    d = rng.standard_normal((5, L)).astype(np.float32)
+    d[:, used:] = 0.0
+    Np = -(-n_seg // group) * group
+    offs = np.pad(offs, (0, Np - n_seg), constant_values=ends[-1] if n_seg else 0)
+    ends = np.pad(ends, (0, Np - n_seg), constant_values=ends[-1] if n_seg else 0)
+    return d, keys, offs, ends, n_seg
+
+
+@pytest.mark.parametrize("skip_empty", [False, True])
+@pytest.mark.parametrize("empty_frac", [0.0, 0.6])
+def test_segment_rowsum_matches_oracle(skip_empty, empty_frac):
+    rng = np.random.default_rng(0)
+    cap, group = 128, 16
+    d, keys, offs, ends, n = _make(rng, 75, 300, cap, group, empty_frac)
+    out = segsum.segment_rowsum(
+        jnp.asarray(d),
+        jnp.asarray(keys),
+        jnp.asarray(offs),
+        jnp.asarray(ends),
+        cap=cap,
+        group=group,
+        skip_empty=skip_empty,
+        interpret=True,
+    )
+    ref = _oracle(d, keys, offs, ends)
+    np.testing.assert_allclose(np.asarray(out)[:n], ref[:n], rtol=1e-5, atol=1e-5)
+
+
+def test_skip_empty_bit_equals_dense():
+    rng = np.random.default_rng(1)
+    cap, group = 128, 16
+    d, keys, offs, ends, n = _make(rng, 64, 256, cap, group, 0.5)
+    args = (jnp.asarray(d), jnp.asarray(keys), jnp.asarray(offs), jnp.asarray(ends))
+    a = segsum.segment_rowsum(*args, cap=cap, group=group, skip_empty=False, interpret=True)
+    b = segsum.segment_rowsum(*args, cap=cap, group=group, skip_empty=True, interpret=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_all_segments_empty():
+    """skip_empty with zero live entries: output must be all zeros (the
+    aliased zero-init buffer passes through untouched)."""
+    cap, group = 128, 16
+    L, N = 256, 32
+    keys = jnp.full((L,), segsum.BIG, jnp.int32)
+    d = jnp.zeros((3, L), jnp.float32)
+    offs = jnp.zeros((N,), jnp.int32)
+    ends = jnp.zeros((N,), jnp.int32)
+    out = segsum.segment_rowsum(
+        d, keys, offs, ends, cap=cap, group=group, skip_empty=True, interpret=True
+    )
+    assert np.array_equal(np.asarray(out), np.zeros((N, 3), np.float32))
+
+
+def test_single_giant_segment_spans_chunks():
+    """One segment owning every row exercises multi-chunk accumulation."""
+    cap, group = 128, 8
+    L = 512
+    keys = jnp.arange(L, dtype=jnp.int32)
+    rng = np.random.default_rng(2)
+    d = rng.standard_normal((4, L)).astype(np.float32)
+    offs = np.zeros((8,), np.int32)
+    ends = np.zeros((8,), np.int32)
+    ends[0] = L
+    out = segsum.segment_rowsum(
+        jnp.asarray(d),
+        keys,
+        jnp.asarray(offs),
+        jnp.asarray(ends),
+        cap=cap,
+        group=group,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[0], d.sum(axis=1), rtol=1e-5, atol=1e-4
+    )
+    assert np.abs(np.asarray(out)[1:]).max() == 0.0
