@@ -163,7 +163,10 @@ def compose_frame(
     xyz_local = g.xyz
     rot_local = g.rot
     if opts.mode == "train" and key is not None:
-        flip = jax.random.uniform(key, (table.capacity,)) < table.flip_prob[mid]
+        # shape from the rows themselves, not table.capacity: under a
+        # gauss-sharded shard_map (parallel/gauss.py) the local rows are
+        # a 1/D slice of the packed buffer
+        flip = jax.random.uniform(key, (g.xyz.shape[0],)) < table.flip_prob[mid]
         xyz_local = jnp.where(
             flip[:, None],
             xyz_local.at[:, FLIP_AXIS].multiply(-1.0),
@@ -279,7 +282,7 @@ def compose_frame(
     )
 
 
-def render_frame(
+def screen_space(
     params: SceneParams,
     aux: G.GaussianAux,
     table: G.SceneTable,
@@ -289,25 +292,20 @@ def render_frame(
     include_mask: Optional[np.ndarray] = None,
     key: Optional[jax.Array] = None,
     opts: RenderOptions = RenderOptions(),
-    compose_sky: bool = True,
     mean2d_offset: Optional[jnp.ndarray] = None,
-    absgrad_dummy: Optional[jnp.ndarray] = None,
-    row_shard=None,
-) -> Dict[str, jnp.ndarray]:
-    """Full render of one camera -> dict rgb/acc/depth/T/semantic/radii...
+):
+    """Per-Gaussian half of the render: compose + screen-space preprocess.
 
-    mean2d_offset: optional [C, 2] zeros; gradients w.r.t. it are the
-    viewspace-position gradients used for densification (the functional
-    analog of the reference's retain_grad screenspace_points tensor,
-    street_gaussian_renderer.py:163-171).
-    absgrad_dummy: optional [C, 2] zeros; its gradient carries the
-    per-pixel-abs viewspace gradients (AbsGS, backward.cu:624-628).
+    This is the seam for Gaussian-sharded rendering (parallel/gauss.py):
+    every row of the inputs maps independently to a row of the outputs,
+    so the packed buffer can be sharded over a mesh axis here and the
+    (much smaller) screen rows all-gathered for binning + blending.
+    Returns (screen: GaussianScreenData, composed dict).
     """
     cam = frame_inp.cam
     composed = compose_frame(
         params, aux, table, pose_data, frame_inp, step, include_mask, key, opts
     )
-
     max_deg = max(table.sh_degree_bkgd, table.sh_degree_obj)
     screen = preprocess_gaussians(
         means3d=composed["means3d"],
@@ -331,6 +329,44 @@ def render_frame(
     )
     if mean2d_offset is not None:
         screen = screen._replace(mean2d=screen.mean2d + mean2d_offset)
+    return screen, composed
+
+
+def render_frame(
+    params: SceneParams,
+    aux: G.GaussianAux,
+    table: G.SceneTable,
+    pose_data: Optional[ActorPoseData],
+    frame_inp: FrameInput,
+    step,
+    include_mask: Optional[np.ndarray] = None,
+    key: Optional[jax.Array] = None,
+    opts: RenderOptions = RenderOptions(),
+    compose_sky: bool = True,
+    mean2d_offset: Optional[jnp.ndarray] = None,
+    absgrad_dummy: Optional[jnp.ndarray] = None,
+    row_shard=None,
+    screen_composed=None,
+) -> Dict[str, jnp.ndarray]:
+    """Full render of one camera -> dict rgb/acc/depth/T/semantic/radii...
+
+    mean2d_offset: optional [C, 2] zeros; gradients w.r.t. it are the
+    viewspace-position gradients used for densification (the functional
+    analog of the reference's retain_grad screenspace_points tensor,
+    street_gaussian_renderer.py:163-171).
+    absgrad_dummy: optional [C, 2] zeros; its gradient carries the
+    per-pixel-abs viewspace gradients (AbsGS, backward.cu:624-628).
+    """
+    cam = frame_inp.cam
+    if screen_composed is not None:
+        # pre-built by the caller (parallel/gauss.py builds the screen
+        # rows shard-local and all-gathers them before rasterizing)
+        screen, composed = screen_composed
+    else:
+        screen, composed = screen_space(
+            params, aux, table, pose_data, frame_inp, step, include_mask,
+            key, opts, mean2d_offset,
+        )
 
     # --- row(tile)-sharded rendering: restrict to this device's band of
     # tile rows (parallel/tiles.py). row_shard = (tile_row_start

@@ -213,23 +213,37 @@ def preprocess_gaussians(
     mid = 0.5 * (cov2d[:, 0] + cov2d[:, 2])
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     lambda1 = mid + disc
-    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
+    r3 = 3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0))
+    radius = jnp.ceil(r3)
 
-    # --- tile rect (ref: auxiliary.h:46-56) ---
+    # --- tile rect: opacity-aware ellipse AABB (tightened from the
+    # reference's 3-sigma circle, auxiliary.h:46-56). A pixel blends only
+    # if alpha = op * exp(-Q/2) >= 1/255 (Q the conic quadratic), i.e.
+    # Q <= qmax = 2 ln(255 op); the reference additionally truncates at
+    # the 3-sigma(major) circle. Per-axis extents of (circle INTERSECT
+    # ellipse): h = min(3 sigma_major, sqrt(qmax * cov_axis)). Every
+    # pixel the circle-binned blend could touch stays covered, so the
+    # output is unchanged while anisotropic / low-opacity gaussians
+    # touch far fewer tiles (bench scene: 2.05M -> fewer instances, all
+    # downstream stages scale with it). +0.01 px guards ulp edges.
+    op_n = opacities.reshape(n)
+    qmax = jnp.maximum(2.0 * jnp.log(jnp.maximum(255.0 * op_n, 1e-12)), 0.0)
+    hx = jnp.minimum(r3, jnp.sqrt(qmax * jnp.maximum(cov2d[:, 0], 0.0))) + 0.01
+    hy = jnp.minimum(r3, jnp.sqrt(qmax * jnp.maximum(cov2d[:, 2], 0.0))) + 0.01
     rect_min = jnp.stack(
         [
-            jnp.clip(((mean2d[:, 0] - radius) / TILE).astype(jnp.int32), 0, grid_x),
-            jnp.clip(((mean2d[:, 1] - radius) / TILE).astype(jnp.int32), 0, grid_y),
+            jnp.clip(((mean2d[:, 0] - hx) / TILE).astype(jnp.int32), 0, grid_x),
+            jnp.clip(((mean2d[:, 1] - hy) / TILE).astype(jnp.int32), 0, grid_y),
         ],
         axis=-1,
     )
     rect_max = jnp.stack(
         [
             jnp.clip(
-                ((mean2d[:, 0] + radius + TILE - 1) / TILE).astype(jnp.int32), 0, grid_x
+                ((mean2d[:, 0] + hx + TILE - 1) / TILE).astype(jnp.int32), 0, grid_x
             ),
             jnp.clip(
-                ((mean2d[:, 1] + radius + TILE - 1) / TILE).astype(jnp.int32), 0, grid_y
+                ((mean2d[:, 1] + hy + TILE - 1) / TILE).astype(jnp.int32), 0, grid_y
             ),
         ],
         axis=-1,

@@ -8,10 +8,10 @@ cuda_rasterizer/backward.cu:414-641). Key design differences:
     fixed-capacity) Gaussian payload is streamed through VMEM in chunks
     of 128 lanes.
   * The alpha-blend recurrence is evaluated 128 Gaussians at a time:
-    transmittance prefix products become lane-axis prefix sums in log
-    space (Hillis-Steele with `pltpu.roll`), and the feature
-    accumulation is one [256px, 128g] x [128g, F] matmul per chunk — on
-    the MXU instead of per-thread FMAs.
+    transmittance prefix products are lane-axis prefix products
+    (Hillis-Steele with `pltpu.roll`), and the feature accumulation is
+    one [256px, 128g] x [128g, F] matmul per chunk — on the MXU instead
+    of per-thread FMAs.
   * The backward pass re-walks the same chunks front-to-back (no
     back-to-front pass and no atomics): the suffix sums the CUDA kernel
     accumulates in reverse are obtained in forward order from the
@@ -81,6 +81,24 @@ def _cumsum_lanes(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def _cumprod_lanes_excl(x: jnp.ndarray) -> jnp.ndarray:
+    """EXCLUSIVE prefix-product along the lane axis (out[:, j] =
+    prod_{i<j} x[:, i]) via log2(n) shifted multiplies. Direct products
+    match the CUDA reference's sequential `T *= (1 - alpha)` recurrence
+    (forward.cu:430) and avoid the log1p/exp round-trip the first
+    log-space formulation paid (3 extra [PIX, CHUNK] transcendental
+    passes per chunk — measured 21% of forward kernel time)."""
+    n = x.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    x = jnp.where(col >= 1, pltpu.roll(x, 1, axis=1), 1.0)
+    d = 1
+    while d < n:
+        shifted = pltpu.roll(x, d, axis=1)
+        x = x * jnp.where(col >= d, shifted, 1.0)
+        d *= 2
+    return x
+
+
 def _pixel_coords(tile_id, grid_x):
     """Pixel centers of this tile as [PIX, 1] columns (pixel = sublane)."""
     tile_x = tile_id % grid_x
@@ -94,8 +112,9 @@ def _pixel_coords(tile_id, grid_x):
 def _chunk_alpha(payload_ref, sl, px, py, done):
     """Shared fwd/bwd chunk math up to the blend decision.
 
-    Returns (a, blend, logs, cums_incl, extras) where a is the effective
-    alpha [PIX, CHUNK] (0 where inactive/terminated).
+    Returns (a, om, cp_excl, cp_incl, extras): a is the effective alpha
+    [PIX, CHUNK] (0 where inactive/terminated), om = 1 - a, cp_excl /
+    cp_incl the exclusive/inclusive lane prefix products of om.
     """
     mx = payload_ref[0, 0:1, sl]
     my = payload_ref[0, 1:2, sl]
@@ -113,18 +132,31 @@ def _chunk_alpha(payload_ref, sl, px, py, done):
     active = (power <= 0.0) & (alpha >= ALPHA_MIN) & (done <= 0.0)
     a = jnp.where(active, alpha, 0.0)
 
-    logs = jnp.log1p(-a)
-    cums_incl = _cumsum_lanes(logs)
-    return a, logs, cums_incl, (dx, dy, ca, cb, cc, apow, alpha_raw)
+    om = 1.0 - a  # >= 1 - ALPHA_MAX = 0.01, so products stay positive
+    cp_excl = _cumprod_lanes_excl(om)
+    return a, om, cp_excl, cp_excl * om, (dx, dy, ca, cb, cc, apow, alpha_raw)
 
 
-def _blend_masks(a, cums_incl, T):
+def _blend_masks(a, cp_incl, T):
     """Per-chunk trigger/blend masks given carry transmittance T [PIX,1]."""
-    test_T = T * jnp.exp(cums_incl)  # T after including gaussian j
+    test_T = T * cp_incl  # T after including gaussian j
     trigger = (a > 0.0) & (test_T < T_EPS)
     done_cum = _cumsum_lanes(trigger.astype(jnp.float32)) > 0.0
     blend = (a > 0.0) & jnp.logical_not(done_cum)
     return trigger, blend
+
+
+def _survived_product(cp_excl, cp_incl, trigger):
+    """prod of (1 - a) over the BLENDED lanes, [PIX, 1]: cp_excl at the
+    first trigger lane (cp is non-increasing along lanes, so the first
+    trigger is the max over trigger lanes), or the full-chunk product
+    when no trigger fired. Non-blended a=0 lanes contribute om=1, so
+    the all-lane prefix products are reusable as-is. (reduce_prod is
+    unimplemented in Mosaic lowering; this needs only max/select.)"""
+    last = cp_incl[:, CHUNK - 1 : CHUNK]
+    has = jnp.max(trigger.astype(jnp.float32), axis=1, keepdims=True) > 0.0
+    best = jnp.max(jnp.where(trigger, cp_excl, 0.0), axis=1, keepdims=True)
+    return jnp.where(has, best, last)
 
 
 # --------------------------------------------------------------------------
@@ -144,11 +176,11 @@ def _fwd_kernel(count_ref, payload_ref, out_ref, *, num_features, grid_x, capaci
         def compute(args):
             T, done, accum = args
             sl = pl.ds(i * CHUNK, CHUNK)
-            a, logs, cums_incl, _ = _chunk_alpha(payload_ref, sl, px, py, done)
-            trigger, blend = _blend_masks(a, cums_incl, T)
+            a, om, cp_excl, cp_incl, _ = _chunk_alpha(payload_ref, sl, px, py, done)
+            trigger, blend = _blend_masks(a, cp_incl, T)
 
             # w_j = a_j * T_in * prod_{i<j}(1-a_i)
-            w = jnp.where(blend, a * T * jnp.exp(cums_incl - logs), 0.0)
+            w = jnp.where(blend, a * T * cp_excl, 0.0)
             feat = payload_ref[0, PAYLOAD_HEADER : PAYLOAD_HEADER + F, sl]  # [F, CHUNK]
             accum = accum + jax.lax.dot_general(
                 w,
@@ -156,8 +188,7 @@ def _fwd_kernel(count_ref, payload_ref, out_ref, *, num_features, grid_x, capaci
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            logs_eff = jnp.where(blend, logs, 0.0)
-            T = T * jnp.exp(jnp.sum(logs_eff, axis=1, keepdims=True))
+            T = T * _survived_product(cp_excl, cp_incl, trigger)
             done = jnp.maximum(
                 done, jnp.max(trigger.astype(jnp.float32), axis=1, keepdims=True)
             )
@@ -212,11 +243,11 @@ def _bwd_kernel(
         def compute(args):
             T, done, u_accum = args
             sl = pl.ds(i * CHUNK, CHUNK)
-            a, logs, cums_incl, extras = _chunk_alpha(payload_ref, sl, px, py, done)
+            a, om, cp_excl, cp_incl, extras = _chunk_alpha(payload_ref, sl, px, py, done)
             dx, dy, ca, cb, cc, apow, alpha_raw = extras
-            trigger, blend = _blend_masks(a, cums_incl, T)
+            trigger, blend = _blend_masks(a, cp_incl, T)
 
-            Tprefix = T * jnp.exp(cums_incl - logs)  # T before gaussian j
+            Tprefix = T * cp_excl  # T before gaussian j
             w = jnp.where(blend, a * Tprefix, 0.0)
 
             feat = payload_ref[0, PAYLOAD_HEADER : PAYLOAD_HEADER + F, sl]  # [F, CHUNK]
@@ -267,8 +298,7 @@ def _bwd_kernel(
             dpayload_ref[0, PAYLOAD_HEADER + F : PAYLOAD_HEADER + F + 1, sl] = d_absx
             dpayload_ref[0, PAYLOAD_HEADER + F + 1 : PAYLOAD_HEADER + F + 2, sl] = d_absy
 
-            logs_eff = jnp.where(blend, logs, 0.0)
-            T = T * jnp.exp(jnp.sum(logs_eff, axis=1, keepdims=True))
+            T = T * _survived_product(cp_excl, cp_incl, trigger)
             done = jnp.maximum(
                 done, jnp.max(trigger.astype(jnp.float32), axis=1, keepdims=True)
             )

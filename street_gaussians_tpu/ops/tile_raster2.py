@@ -36,6 +36,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -48,7 +49,6 @@ from street_gaussians_tpu.ops.tile_raster import (
     PIX,
     T_EPS,
     TILE,
-    _cumsum_lanes,
     payload_rows,
 )
 
@@ -62,8 +62,41 @@ def _pixel_coords(tile_id, grid_x):
     return px, py
 
 
+LOG_T_EPS = float(np.log(T_EPS))
+
+
+def _tri_lower_incl():
+    """[CHUNK, CHUNK] f32 L with L[i, j] = (i <= j): x @ L is an
+    inclusive lane prefix-sum ON THE MXU. Replaces the 7-step
+    Hillis-Steele roll chains, whose roll+mask+op triples were ~60% of
+    kernel VPU time (probe_kernel.py: fwd 52 -> 32 ms at bench scale)."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return (ii <= jj).astype(jnp.float32)
+
+
+def _lane_prefix_sum(x, exact=False):
+    """Inclusive prefix-sum along lanes via the triangular matmul.
+    exact=True uses 3-pass bf16x3 (~f32) for real-valued summands;
+    the default single-pass bf16 is reserved for 0/1 indicators, which
+    it sums exactly."""
+    return jax.lax.dot_general(
+        x,
+        _tri_lower_incl(),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST if exact else None,
+    )
+
+
 def _block_alpha(blk_ref, px, py, done, slot_valid):
-    """blk_ref: [1, c_pad, CHUNK] VMEM block. slot_valid: [1, CHUNK]."""
+    """blk_ref: [1, c_pad, CHUNK] VMEM block. slot_valid: [1, CHUNK].
+
+    Returns (a, om, logs, cums_incl, extras): logs = log1p(-a) and its
+    inclusive lane prefix-sum — the blend recurrence runs in LOG space
+    so the carry update and the termination test need no exp at all;
+    only the blend weights pay one exp per block.
+    """
     mx = blk_ref[0, 0:1, :]
     my = blk_ref[0, 1:2, :]
     ca = blk_ref[0, 2:3, :]
@@ -79,15 +112,16 @@ def _block_alpha(blk_ref, px, py, done, slot_valid):
     alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
     active = (power <= 0.0) & (alpha >= ALPHA_MIN) & (done <= 0.0) & slot_valid
     a = jnp.where(active, alpha, 0.0)
+    om = 1.0 - a  # >= 0.01 (alpha clamp)
     logs = jnp.log1p(-a)
-    cums_incl = _cumsum_lanes(logs)
-    return a, logs, cums_incl, (dx, dy, ca, cb, cc, apow, alpha_raw)
+    cums_incl = _lane_prefix_sum(logs, exact=True)
+    return a, om, logs, cums_incl, (dx, dy, ca, cb, cc, apow, alpha_raw)
 
 
-def _blend_masks(a, cums_incl, T):
-    test_T = T * jnp.exp(cums_incl)
-    trigger = (a > 0.0) & (test_T < T_EPS)
-    done_cum = _cumsum_lanes(trigger.astype(jnp.float32)) > 0.0
+def _blend_masks_log(a, cums_incl, logT):
+    """Trigger/blend masks with the carry transmittance in log space."""
+    trigger = (a > 0.0) & (logT + cums_incl < LOG_T_EPS)
+    done_cum = _lane_prefix_sum(trigger.astype(jnp.float32)) > 0.0
     blend = (a > 0.0) & jnp.logical_not(done_cum)
     return trigger, blend
 
@@ -180,7 +214,7 @@ def _fwd_kernel(
     cnt_ref,
     blk_ref,
     out_ref,
-    T_s,
+    logT_s,
     done_s,
     accum_s,
     *,
@@ -197,20 +231,21 @@ def _fwd_kernel(
 
     @pl.when(i == 0)
     def _():
-        T_s[...] = jnp.ones((PIX, 1), jnp.float32)
+        logT_s[...] = jnp.zeros((PIX, 1), jnp.float32)
         done_s[...] = jnp.zeros((PIX, 1), jnp.float32)
         accum_s[...] = jnp.zeros((PIX, F), jnp.float32)
 
     @pl.when((i < nblocks) & (jnp.min(done_s[...]) <= 0.0))
     def _():
         px, py = _pixel_coords(t, grid_x)
-        T = T_s[...]
+        logT = logT_s[...]
         done = done_s[...]
-        a, logs, cums_incl, _ = _block_alpha(
+        a, om, logs, cums_incl, _ = _block_alpha(
             blk_ref, px, py, done, _slot_valid(blk_idx_ref[s], start, cnt)
         )
-        trigger, blend = _blend_masks(a, cums_incl, T)
-        w = jnp.where(blend, a * T * jnp.exp(cums_incl - logs), 0.0)
+        trigger, blend = _blend_masks_log(a, cums_incl, logT)
+        # w_j = a_j * T_in * prod_{i<j}(1-a_i), all in log space
+        w = jnp.where(blend, a * jnp.exp(logT + cums_incl - logs), 0.0)
         feat = blk_ref[0, PAYLOAD_HEADER : PAYLOAD_HEADER + F, :]  # [F, CHUNK]
         accum_s[...] = accum_s[...] + jax.lax.dot_general(
             w,
@@ -219,7 +254,7 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
         )
         logs_eff = jnp.where(blend, logs, 0.0)
-        T_s[...] = T * jnp.exp(jnp.sum(logs_eff, axis=1, keepdims=True))
+        logT_s[...] = logT + jnp.sum(logs_eff, axis=1, keepdims=True)
         done_s[...] = jnp.maximum(
             done, jnp.max(trigger.astype(jnp.float32), axis=1, keepdims=True)
         )
@@ -227,7 +262,7 @@ def _fwd_kernel(
     @pl.when(last_ref[s] == 1)
     def _():
         out_ref[0, :, 0:F] = accum_s[...]
-        out_ref[0, :, F : F + 1] = T_s[...]
+        out_ref[0, :, F : F + 1] = jnp.exp(logT_s[...])
 
 
 # --------------------------------------------------------------------------
@@ -247,7 +282,7 @@ def _bwd_kernel(
     out_res_ref,
     gout_ref,
     dblk_ref,
-    T_s,
+    logT_s,
     done_s,
     u_s,
     *,
@@ -264,11 +299,23 @@ def _bwd_kernel(
 
     @pl.when(i == 0)
     def _():
-        T_s[...] = jnp.ones((PIX, 1), jnp.float32)
+        logT_s[...] = jnp.zeros((PIX, 1), jnp.float32)
         done_s[...] = jnp.zeros((PIX, 1), jnp.float32)
         u_s[...] = jnp.zeros((PIX, 1), jnp.float32)
 
-    @pl.when(i < nblocks)
+    # early termination: once every pixel of the tile has terminated,
+    # remaining blocks contribute exactly zero gradient — skip their
+    # compute; a block whose FIRST writer is a terminated step still
+    # needs its zeros written (the copy-back would otherwise flush a
+    # stale VMEM buffer). The forward has the same skip; the backward
+    # walks the same blocks so `nblocks` stays aligned.
+    alldone = jnp.min(done_s[...]) > 0.0
+
+    @pl.when((i < nblocks) & alldone & (wf_ref[s] == 1))
+    def _():
+        dblk_ref[0] = jnp.zeros(dblk_ref.shape[1:], jnp.float32)
+
+    @pl.when((i < nblocks) & jnp.logical_not(alldone))
     def _():
         px, py = _pixel_coords(t, grid_x)
         g = gout_ref[0, :, 0:F]
@@ -278,15 +325,15 @@ def _bwd_kernel(
         S_total = jnp.sum(g * out_feat, axis=1, keepdims=True)
         gT_Tfin = gT * T_fin
 
-        T = T_s[...]
+        logT = logT_s[...]
         done = done_s[...]
-        a, logs, cums_incl, extras = _block_alpha(
+        a, om, logs, cums_incl, extras = _block_alpha(
             blk_ref, px, py, done, _slot_valid(blk_idx_ref[s], start, cnt)
         )
         dx, dy, ca, cb, cc, apow, alpha_raw = extras
-        trigger, blend = _blend_masks(a, cums_incl, T)
+        trigger, blend = _blend_masks_log(a, cums_incl, logT)
 
-        Tprefix = T * jnp.exp(cums_incl - logs)
+        Tprefix = jnp.exp(logT + cums_incl - logs)
         w = jnp.where(blend, a * Tprefix, 0.0)
         feat = blk_ref[0, PAYLOAD_HEADER : PAYLOAD_HEADER + F, :]
         phi = jax.lax.dot_general(
@@ -296,10 +343,10 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32,
         )
         u = w * phi
-        cumsum_u = _cumsum_lanes(u) + u_s[...]
+        cumsum_u = _lane_prefix_sum(u, exact=True) + u_s[...]
         suffix = S_total - cumsum_u
 
-        da = jnp.where(blend, Tprefix * phi - (suffix + gT_Tfin) / (1.0 - a), 0.0)
+        da = jnp.where(blend, Tprefix * phi - (suffix + gT_Tfin) / om, 0.0)
         unclamped = alpha_raw <= ALPHA_MAX
         da_eff = jnp.where(unclamped, da, 0.0)
         dpow = alpha_raw * da_eff
@@ -335,7 +382,7 @@ def _bwd_kernel(
             dblk_ref[0] = dblk_ref[0] + new_rows
 
         logs_eff = jnp.where(blend, logs, 0.0)
-        T_s[...] = T * jnp.exp(jnp.sum(logs_eff, axis=1, keepdims=True))
+        logT_s[...] = logT + jnp.sum(logs_eff, axis=1, keepdims=True)
         done_s[...] = jnp.maximum(
             done, jnp.max(trigger.astype(jnp.float32), axis=1, keepdims=True)
         )
