@@ -59,9 +59,11 @@ def _bilinear_taps(flat, base, e4, R, interpret=False):
     # ~48 MB of sequential HBM traffic — so the random-access phase
     # reads one 48-byte row per pixel. Measured 42 -> 27 ms at 1600 px:
     # gather cost is per-ROW latency-dominated, so halving tap count
-    # beats halving bytes (bf16 table saved only 5 ms more). Rolled-in
-    # wrap values are dead: border folding gives any tap that would
-    # cross a row/face boundary zero weight.
+    # beats halving bytes (bf16 table saved only 5 ms more; a packed
+    # [T/8, 54] row table with a per-pixel 8-way lane select measured
+    # 3.5x WORSE — per-lane column extraction is layout-hostile).
+    # Rolled-in wrap values are dead: border folding gives any tap that
+    # would cross a row/face boundary zero weight.
     tbl = jnp.concatenate(
         [jnp.roll(flat, -off, axis=0) for off in (0, 1, R, R + 1)], axis=1
     )
@@ -80,37 +82,72 @@ def _bt_bwd(R, interpret, res, d_out):
     C = d_out.shape[-1]
     P = int(np.prod(base.shape))
     keys = base.reshape(-1)  # [P]
-    # 12 channels: tap-plane-major (e_t * d_rgb)
-    vals = (e4[..., :, None] * d_out[..., None, :]).reshape(P, 4 * C)
     # cap/group tuned on v5e (texel space 6.3M >> 1.7M entries, so the
     # banded matmul is sparse: small cap bounds per-step flops, big
-    # group amortizes step overhead): 2048/512 = 69 ms, 512/1024 = 39 ms
-    # at the 1600 px bench shape. skip_empty skips the >60% of texel
-    # groups outside the camera cone entirely.
+    # group amortizes step overhead). skip_empty skips the >60% of
+    # texel groups outside the camera cone entirely.
     cap = 512
     L = _round_up(P, cap)
     keys = jnp.pad(keys, (0, L - P), constant_values=segsum_lib.BIG)
-    vals = jnp.pad(vals, ((0, L - P), (0, 0)))
-    srt = jax.lax.sort(
-        (keys, *(vals[:, c] for c in range(4 * C))), num_keys=1, is_stable=False
-    )
-    skeys = srt[0]
-    svals = jnp.stack(srt[1:], axis=0)  # [4C, L]
+    # 12 value channels: tap-plane-major (e_t * d_rgb), built as twelve
+    # 1-D arrays (a [P, 12] staging buffer would be lane-padded 12->128
+    # on TPU: 870 MB of pure padding traffic)
+    def chan(t, r):
+        v = (e4[..., t] * d_out[..., r]).reshape(-1)
+        return jnp.pad(v, (0, L - P))
+
+    chans = [chan(t, r) for t in range(4) for r in range(C)]
+    if interpret:
+        srt = jax.lax.sort((keys, *chans), num_keys=1, is_stable=False)
+        skeys = srt[0]
+        svals = jnp.stack(srt[1:], axis=0)  # [4C, L]
+    else:
+        # sort cost scales with operand count: pack bf16 PAIRS into u32
+        # words (13 -> 7 arrays, 24 -> ~14 ms at bench scale). Bit-
+        # neutral: the segsum matmul at default TPU precision rounds
+        # every addend to bf16 anyway, and the round-trip through the
+        # packed word is that exact rounding.
+        def pack(a, b):
+            ua = jax.lax.bitcast_convert_type(
+                a.astype(jnp.bfloat16), jnp.uint16
+            ).astype(jnp.uint32)
+            ub = jax.lax.bitcast_convert_type(
+                b.astype(jnp.bfloat16), jnp.uint16
+            ).astype(jnp.uint32)
+            return (ua << 16) | ub
+
+        packed = [pack(chans[2 * i], chans[2 * i + 1]) for i in range(2 * C)]
+        srt = jax.lax.sort((keys, *packed), num_keys=1, is_stable=False)
+        skeys = srt[0]
+
+        def unpack_hi(w):
+            return jax.lax.bitcast_convert_type(
+                (w >> 16).astype(jnp.uint16), jnp.bfloat16
+            ).astype(jnp.float32)
+
+        def unpack_lo(w):
+            return jax.lax.bitcast_convert_type(
+                (w & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.bfloat16
+            ).astype(jnp.float32)
+
+        svals = jnp.stack(
+            [f(srt[1 + i]) for i in range(2 * C) for f in (unpack_hi, unpack_lo)],
+            axis=0,
+        )  # [4C, L]
     group = 1024
     Tp = _round_up(T, group)
-    texel = jnp.arange(Tp, dtype=jnp.int32)
     planes = segsum_lib.segment_rowsum(
-        svals, skeys, texel, texel + 1, cap=cap, group=group,
+        svals, skeys, num_segments=Tp, cap=cap, group=group,
         skip_empty=True, interpret=interpret,
-    )[:T].reshape(T, 4, C)
+    ).reshape(4, C, Tp)  # channel-major: [tap, rgb, texel]
     # tap plane for offset `off` accumulated at `base` belongs to texel
     # base + off: shift each plane down by its offset (live taps never
     # cross a row/face boundary — border folding guarantees it)
-    d_flat = planes[:, 0]
+    d_cm = planes[0, :, :T]
     for t, off in enumerate((1, R, R + 1)):
-        d_flat = d_flat + jnp.pad(planes[:, t + 1], ((off, 0), (0, 0)))[:T]
+        d_cm = d_cm + jnp.pad(planes[t + 1, :, :T], ((0, 0), (off, 0)))[:, :T]
     return (
-        d_flat,
+        d_cm.T,
         np.zeros(base.shape, jax.dtypes.float0),
         jnp.zeros_like(e4),
     )

@@ -114,11 +114,10 @@ def _bpb_bwd(interpret, res, d_blocks):
 
     group = 256
     Np = _round_up(n, group)
-    seg = jnp.arange(Np, dtype=jnp.int32)
     d_src = segsum_lib.segment_rowsum(
-        svals, skeys, seg, seg + 1, cap=cap, group=group, interpret=interpret
-    )[:n]
-    return (d_src, _f0(inst_gauss))
+        svals, skeys, num_segments=Np, cap=cap, group=group, interpret=interpret
+    )[:, :n]
+    return (d_src.T, _f0(inst_gauss))
 
 
 build_payload_blocks.defvjp(_bpb_fwd, _bpb_bwd)

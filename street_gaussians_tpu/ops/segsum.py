@@ -11,14 +11,27 @@ reduction in a few ms.
 Key idea: after the payload-gradient rows are sorted by their pre-sort
 instance position (a radix `lax.sort`, bandwidth-bound), every
 gaussian's instances occupy a contiguous key range [offs[g], ends[g]).
-A group of 128 consecutive gaussians then covers a contiguous row range
-of the sorted array, so its 128 segment sums are one banded 0/1-matrix
-product:  out[128, C] = A[128, cap] @ block[cap, C],  with
-A[r, s] = (offs[r] <= key[s] < ends[r]) built from iota/compares on the
-VPU and the product running on the MXU. The grid walks (group, chunk)
-pairs flattened into one sequential axis, accumulating chunk partials
-into the group's output block (Pallas keeps a revisited output block in
-VMEM between steps).
+A group of consecutive gaussians then covers a contiguous row range
+of the sorted array, so its `group` segment sums are one banded
+0/1-matrix product:  out[C, group] = block[C, cap] @ A[group, cap]^T,
+with A[r, s] = (offs[r] <= key[s] < ends[r]) built from iota/compares
+on the VPU and the product running on the MXU. The grid walks
+(group, chunk) pairs flattened into one sequential axis, accumulating
+chunk partials into the group's output block (Pallas keeps a revisited
+output block in VMEM between steps).
+
+Output is CHANNEL-MAJOR [C, N]. The [N, C] orientation with small C is
+a trap: TPU HBM layouts tile the two minormost dims to (8, 128), so a
+[N, 12] f32 buffer physically occupies N*128*4 B — 3.2 GB for the sky
+backward's 6.3M-texel space — and the kernel's output writes plus the
+skip_empty zero-init each paid ~16 ms of pure padding traffic
+(measured; the whole reduction was 33 ms). As [C, Gp, group] the buffer
+is N*C*4 B up to a C->8k sublane pad (33% at C=12, vs 10x+ lane pad).
+
+Segments are usually SINGLETONS over an identity space (segment g owns
+key g): pass offs=None and the kernel builds A from one iota compare,
+skipping the offs/ends operands entirely. Pass explicit offs/ends for
+general contiguous segments.
 """
 
 from __future__ import annotations
@@ -41,14 +54,13 @@ def _kernel(
     valid_of_step,
     keys_ref,
     d_ref,
-    offs_ref,
-    ends_ref,
     *rest,
     cap,
-    has_init=False,
-    precision=None,
+    group,
+    identity,
+    precision,
 ):
-    out_ref = rest[-1]  # rest = (init_ref, out_ref) if has_init
+    out_ref = rest[-1]
     s = pl.program_id(0)
     first = first_of_step[s]
     valid = valid_of_step[s]
@@ -60,38 +72,44 @@ def _kernel(
     @pl.when(valid > 0)
     def _():
         k = keys_ref[0, :]  # [cap] int32
-        # offs/ends blocks hold 8 groups (TPU sublane tiling); select ours
-        group = offs_ref.shape[1]
-        row = group_of_step[s] % 8
-        sel = jax.lax.broadcasted_iota(jnp.int32, (8, group), 0) == row
-        o = jnp.sum(jnp.where(sel, offs_ref[...], 0), axis=0)  # [group]
-        e = jnp.sum(jnp.where(sel, ends_ref[...], 0), axis=0)  # [group]
-        A = (k[None, :] >= o[:, None]) & (k[None, :] < e[:, None])
+        r = jax.lax.broadcasted_iota(jnp.int32, (group, cap), 0)
+        if identity:
+            # segment r of this group owns exactly key group_id*group + r
+            A = k[None, :] - group_of_step[s] * group == r
+        else:
+            offs_ref, ends_ref = rest[0], rest[1]
+            # offs/ends blocks hold 8 groups (TPU sublane tiling)
+            row = group_of_step[s] % 8
+            sel = jax.lax.broadcasted_iota(jnp.int32, (8, group), 0) == row
+            o = jnp.sum(jnp.where(sel, offs_ref[...], 0), axis=0)  # [group]
+            e = jnp.sum(jnp.where(sel, ends_ref[...], 0), axis=0)  # [group]
+            A = (k[None, :] >= o[:, None]) & (k[None, :] < e[:, None])
         Af = A.astype(jnp.float32)  # [group, cap]
         blk = d_ref[...]  # [C, cap]
         partial = jax.lax.dot_general(
-            Af,
             blk,
+            Af,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision,
-        )  # [GROUP, C]
+        )  # [C, group]
 
         @pl.when(first > 0)
         def _():
-            out_ref[0] = partial
+            out_ref[...] = partial
 
         @pl.when(first == 0)
         def _():
-            out_ref[0] = out_ref[0] + partial
+            out_ref[...] = out_ref[...] + partial
 
 
 def segment_rowsum(
     d_chan: jnp.ndarray,
     keys: jnp.ndarray,
-    offs: jnp.ndarray,
-    ends: jnp.ndarray,
+    offs: jnp.ndarray | None = None,
+    ends: jnp.ndarray | None = None,
     *,
+    num_segments: int | None = None,
     cap: int = 1024,
     group: int = GROUP,
     skip_empty: bool = False,
@@ -107,12 +125,15 @@ def segment_rowsum(
     offs/ends: [N] int32 — segment g owns keys in [offs[g], ends[g]).
       offs must be non-decreasing and segments non-overlapping (the
       instance-enumeration order guarantees both). N must be a multiple
-      of `group` (pad with offs=ends).
+      of `group` (pad with offs=ends). Pass offs=None (with
+      num_segments=N) for the common IDENTITY case — segment g owns
+      exactly key g — which skips the offs/ends operands and builds the
+      0/1 matrix from a single iota compare.
     group: segments per output block — raise it (e.g. 512) when N is
       large and segments are tiny, to amortize per-grid-step overhead.
     skip_empty: give groups with ZERO entries no grid step at all; their
       output blocks come from a zero-initialized aliased buffer instead.
-      Pays one [N, C] memset; wins when the keys cover a small or
+      Pays one [C, N] memset; wins when the keys cover a small or
       clustered part of the segment space (the sky cubemap backward: a
       camera cone touches <2 of 6 faces, so >60% of texel groups are
       empty). Bit-identical to the dense walk.
@@ -124,10 +145,15 @@ def segment_rowsum(
       rounding are far below inter-step sampling noise (demo-scene
       convergence is unaffected). Pass jax.lax.Precision.HIGHEST for
       ~f32-exact sums at 3x the MXU passes.
-    Returns [N, C] f32.
+    Returns [C, N] f32 (channel-major — see module docstring for why).
     """
     C, L = d_chan.shape
-    N = offs.shape[0]
+    identity = offs is None
+    if identity:
+        assert num_segments is not None
+        N = num_segments
+    else:
+        N = offs.shape[0]
     assert L % cap == 0 and N % group == 0 and group % 8 == 0, (L, cap, N, group)
     G = N // group
     num_blocks = L // cap
@@ -136,10 +162,14 @@ def segment_rowsum(
     MAXC = G + num_blocks + 1
 
     # ---- per-group block ranges in the sorted key array ----
-    og = offs.reshape(G, group)
-    eg = ends.reshape(G, group)
-    lo = og[:, 0]
-    hi = jnp.max(eg, axis=1)
+    if identity:
+        lo = jnp.arange(G, dtype=jnp.int32) * group
+        hi = lo + group
+    else:
+        og = offs.reshape(G, group)
+        eg = ends.reshape(G, group)
+        lo = og[:, 0]
+        hi = jnp.max(eg, axis=1)
     row0 = jnp.searchsorted(keys, lo, side="left").astype(jnp.int32)
     row1 = jnp.searchsorted(keys, hi, side="left").astype(jnp.int32)  # exclusive
     b0 = jnp.clip(row0 // cap, 0, num_blocks - 1)
@@ -188,20 +218,9 @@ def segment_rowsum(
             lambda s, g_, b_, f_, v_: (0, b_[s]),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec(
-            (8, group),
-            lambda s, g_, b_, f_, v_: (g_[s] // 8, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (8, group),
-            lambda s, g_, b_, f_, v_: (g_[s] // 8, 0),
-            memory_space=pltpu.VMEM,
-        ),
     ]
     # with skip_empty the group axis gains a trash block G for tail steps
     Gp = G + 1 if skip_empty else G
-    pad8 = (-Gp) % 8 + (Gp - G)
     inputs = [
         group_of_step,
         block_of_step,
@@ -209,11 +228,22 @@ def segment_rowsum(
         valid_of_step,
         keys[None, :],
         d_chan,
-        # pad the group axis to the (8, 128) int32 tile height; padding
-        # rows are never selected (valid steps keep group_of_step < G)
-        jnp.pad(og, ((0, pad8), (0, 0)), constant_values=BIG),
-        jnp.pad(eg, ((0, pad8), (0, 0)), constant_values=BIG),
     ]
+    num_operands = 2
+    if not identity:
+        pad8 = (-Gp) % 8 + (Gp - G)
+        for arr in (og, eg):
+            in_specs.append(
+                pl.BlockSpec(
+                    (8, group),
+                    lambda s, g_, b_, f_, v_: (g_[s] // 8, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            # pad the group axis to the (8, 128) int32 tile height; padding
+            # rows are never selected (valid steps keep group_of_step < G)
+            inputs.append(jnp.pad(arr, ((0, pad8), (0, 0)), constant_values=BIG))
+            num_operands += 1
     aliases = {}
     if skip_empty:
         # zero-initialized buffer aliased to the output: groups with no
@@ -221,30 +251,30 @@ def segment_rowsum(
         # (alias indices count the scalar-prefetch operands)
         in_specs.append(
             pl.BlockSpec(
-                (1, group, C),
-                lambda s, g_, b_, f_, v_: (g_[s], 0, 0),
+                (C, group),
+                lambda s, g_, b_, f_, v_: (0, g_[s]),
                 memory_space=pltpu.VMEM,
             )
         )
-        inputs.append(jnp.zeros((Gp, group, C), jnp.float32))
-        aliases = {4 + 4: 0}
+        inputs.append(jnp.zeros((C, Gp * group), jnp.float32))
+        aliases = {4 + num_operands: 0}
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(MAXC,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, group, C),
-            lambda s, g_, b_, f_, v_: (g_[s], 0, 0),
+            (C, group),
+            lambda s, g_, b_, f_, v_: (0, g_[s]),
             memory_space=pltpu.VMEM,
         ),
     )
     out = pl.pallas_call(
         functools.partial(
-            _kernel, cap=cap, has_init=skip_empty, precision=precision
+            _kernel, cap=cap, group=group, identity=identity, precision=precision
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Gp, group, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((C, Gp * group), jnp.float32),
         input_output_aliases=aliases,
         interpret=interpret,
     )(*inputs)
-    return out[:G].reshape(N, C)
+    return out[:, :N]

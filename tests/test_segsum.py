@@ -18,10 +18,10 @@ from street_gaussians_tpu.ops import segsum
 def _oracle(d_chan, keys, offs, ends):
     C, L = d_chan.shape
     N = offs.shape[0]
-    out = np.zeros((N, C), np.float32)
+    out = np.zeros((C, N), np.float32)
     for g in range(N):
         m = (keys >= offs[g]) & (keys < ends[g])
-        out[g] = d_chan[:, m].sum(axis=1)
+        out[:, g] = d_chan[:, m].sum(axis=1)
     return out
 
 
@@ -75,7 +75,7 @@ def test_segment_rowsum_matches_oracle(skip_empty, empty_frac):
         interpret=True,
     )
     ref = _oracle(d, keys, offs, ends)
-    np.testing.assert_allclose(np.asarray(out)[:n], ref[:n], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out)[:, :n], ref[:, :n], rtol=1e-5, atol=1e-5)
 
 
 def test_skip_empty_bit_equals_dense():
@@ -100,7 +100,7 @@ def test_all_segments_empty():
     out = segsum.segment_rowsum(
         d, keys, offs, ends, cap=cap, group=group, skip_empty=True, interpret=True
     )
-    assert np.array_equal(np.asarray(out), np.zeros((N, 3), np.float32))
+    assert np.array_equal(np.asarray(out), np.zeros((3, N), np.float32))
 
 
 def test_single_giant_segment_spans_chunks():
@@ -123,6 +123,36 @@ def test_single_giant_segment_spans_chunks():
         interpret=True,
     )
     np.testing.assert_allclose(
-        np.asarray(out)[0], d.sum(axis=1), rtol=1e-5, atol=1e-4
+        np.asarray(out)[:, 0], d.sum(axis=1), rtol=1e-5, atol=1e-4
     )
-    assert np.abs(np.asarray(out)[1:]).max() == 0.0
+    assert np.abs(np.asarray(out)[:, 1:]).max() == 0.0
+
+
+@pytest.mark.parametrize("skip_empty", [False, True])
+def test_identity_mode_matches_general(skip_empty):
+    """offs=None (identity singleton segments) must equal the general
+    path with offs=arange, ends=arange+1 — the layout both real callers
+    (payload-gradient and sky-texel reductions) use."""
+    rng = np.random.default_rng(3)
+    cap, group = 128, 16
+    N, L = 96, 384
+    # sorted keys clustered in the low half of the segment space
+    keys = np.sort(rng.integers(0, N // 2, size=300)).astype(np.int32)
+    keys = np.pad(keys, (0, L - 300), constant_values=int(segsum.BIG))
+    d = rng.standard_normal((5, L)).astype(np.float32)
+    d[:, 300:] = 0.0
+    seg = jnp.arange(N, dtype=jnp.int32)
+    gen = segsum.segment_rowsum(
+        jnp.asarray(d), jnp.asarray(keys), seg, seg + 1,
+        cap=cap, group=group, skip_empty=skip_empty, interpret=True,
+    )
+    ident = segsum.segment_rowsum(
+        jnp.asarray(d), jnp.asarray(keys), num_segments=N,
+        cap=cap, group=group, skip_empty=skip_empty, interpret=True,
+    )
+    assert np.array_equal(np.asarray(gen), np.asarray(ident))
+    # oracle check too
+    oracle = np.zeros((5, N), np.float32)
+    for j, k in enumerate(keys[:300]):
+        oracle[:, k] += d[:, j]
+    np.testing.assert_allclose(np.asarray(ident), oracle, rtol=1e-5, atol=1e-5)
