@@ -219,13 +219,50 @@ def bin_gaussians_instances(
     n = screen.depth.shape[0]
     S = instance_capacity
 
-    cnt = screen.tiles_touched  # [N] original order, 0 when culled
-    offs = jnp.cumsum(cnt) - cnt
-    total = offs[-1] + cnt[-1]
+    cnt0 = screen.tiles_touched  # [N] original order, 0 when culled
 
     # IEEE-754 bits of positive floats sort like the floats themselves
     # (all valid depths are > NEAR_Z > 0) — same trick as the CUDA key
     depth_bits = jax.lax.bitcast_convert_type(screen.depth, jnp.int32)
+    depth_key_n = jnp.where(cnt0 > 0, depth_bits, jnp.int32(0x7FFFFFFF))
+
+    # ---- depth-sort the GAUSSIANS (N-scale), then enumerate instances
+    # in depth-rank order: instances are BORN depth-sorted, so the 2M
+    # per-instance depth sort AND its expanded depth column disappear
+    # (each per-instance delta-scatter is ~6.5 ms at bench scale — they
+    # dominated binning). Ordering is bit-identical to the previous
+    # expand -> stable-depth-sort -> stable-tile-sort pipeline: both
+    # yield tile-major, depth-minor, original-index-tertiary. ----
+    rwidth = screen.rect_max[:, 0] - screen.rect_min[:, 0]
+    if grid_x < 128 and grid_y < 128:
+        packed_rect_n = (
+            screen.rect_min[:, 0]
+            + (screen.rect_min[:, 1] << 7)
+            + (rwidth << 14)
+        )
+        _, pr_s, cnt_s, oid_s = jax.lax.sort(
+            (depth_key_n, packed_rect_n, cnt0, jnp.arange(n, dtype=jnp.int32)),
+            num_keys=1,
+            is_stable=True,
+        )
+        rect_cols_s = None
+    else:  # panorama-scale grids: separate rect columns
+        _, rx_s, ry_s, rw_s, cnt_s, oid_s = jax.lax.sort(
+            (
+                depth_key_n,
+                screen.rect_min[:, 0],
+                screen.rect_min[:, 1],
+                rwidth,
+                cnt0,
+                jnp.arange(n, dtype=jnp.int32),
+            ),
+            num_keys=1,
+            is_stable=True,
+        )
+        rect_cols_s = (rx_s, ry_s, rw_s)
+
+    offs = jnp.cumsum(cnt_s) - cnt_s
+    total = offs[-1] + cnt_s[-1]
 
     # ---- per-instance expansion: per-column delta scatters + cumsum.
     # Gaussians with cnt == 0 share their successor's offset, so ALL
@@ -240,45 +277,32 @@ def bin_gaussians_instances(
         buf = jnp.zeros((S,), jnp.int32).at[pos].add(col - prev, mode="drop")
         return jnp.cumsum(buf)
 
-    offs_i = expand_col(offs)
-    rwidth = screen.rect_max[:, 0] - screen.rect_min[:, 0]
-    if grid_x < 128 and grid_y < 128:
-        # pack (rx, ry, rw) into one column: packing is linear, so the
-        # delta-telescoping survives — one scatter+cumsum instead of 3
-        packed_rect = (
-            screen.rect_min[:, 0]
-            + (screen.rect_min[:, 1] << 7)
-            + (rwidth << 14)
-        )
-        pr = expand_col(packed_rect)
+    gauss_i = expand_col(oid_s)
+    if rect_cols_s is None:
+        pr = expand_col(pr_s)
         rx = pr & 127
         ry = (pr >> 7) & 127
         rw = jnp.maximum(pr >> 14, 1)
-    else:  # panorama-scale grids: separate columns
-        rx = expand_col(screen.rect_min[:, 0])
-        ry = expand_col(screen.rect_min[:, 1])
-        rw = jnp.maximum(expand_col(rwidth), 1)
-    gauss_i = expand_col(jnp.arange(n, dtype=jnp.int32))
-    depth_i = expand_col(depth_bits)
+    else:
+        rx = expand_col(rect_cols_s[0])
+        ry = expand_col(rect_cols_s[1])
+        rw = jnp.maximum(expand_col(rect_cols_s[2]), 1)
 
     s = jnp.arange(S, dtype=jnp.int32)
     inst_valid = s < total
-    k = s - offs_i
+    # within-run offset WITHOUT an offs expansion: runs start exactly
+    # where the expanded gaussian id changes (distinct per gaussian)
+    prev_g = jnp.concatenate([jnp.full((1,), -1, jnp.int32), gauss_i[:-1]])
+    run_start = jax.lax.cummax(jnp.where(gauss_i != prev_g, s, 0))
+    k = s - run_start
     tile_id = jnp.where(
         inst_valid, (ry + k // rw) * grid_x + rx + k % rw, num_tiles
     ).astype(jnp.int32)
     gauss_id = jnp.where(inst_valid, gauss_i, -1).astype(jnp.int32)
-    depth_key = jnp.where(inst_valid, depth_i, jnp.int32(0x7FFFFFFF))
 
-    # ---- (tile, depth) order via LSD two-pass radix: stable sort by
-    # depth bits, then stable sort by tile. Two SINGLE-key sorts hit
-    # lax.sort's fast path; one multi-key sort falls off it (measured
-    # 123 ms vs ~12 ms for the pipeline at 2M instances). Ties in depth
-    # keep original gaussian order (stability), matching the oracle. ----
-    _, t1, g1 = jax.lax.sort(
-        (depth_key, tile_id, gauss_id), num_keys=1, is_stable=True
-    )
-    st, sg = jax.lax.sort((t1, g1), num_keys=1, is_stable=True)
+    # ---- per-tile depth order from ONE stable tile sort (enumeration
+    # order is already depth order; stability preserves it per tile) ----
+    st, sg = jax.lax.sort((tile_id, gauss_id), num_keys=1, is_stable=True)
 
     # ---- per-tile starts from sort boundaries (no segment_sum) ----
     prev_t = jnp.concatenate([jnp.full((1,), -1, jnp.int32), st[:-1]])

@@ -63,22 +63,41 @@ def ssim(
         pred = jnp.where(m, pred, 0.0)
         gt = jnp.where(m, gt, 0.0)
     C = pred.shape[-1]
+    H, W = pred.shape[0], pred.shape[1]
     win1d = _gaussian_window(window_size, 1.5)
-    k_row = jnp.broadcast_to(win1d[None, None, None, :], (C, 1, 1, window_size))
-    k_col = jnp.broadcast_to(win1d[None, None, :, None], (C, 1, window_size, 1))
+    half = window_size // 2
+
+    def band(n):
+        # [n, n] banded matrix B[i, j] = win[j - i + half] (zero outside
+        # the band): x @ B is the SAME-padded 1-D window convolution.
+        d = (
+            jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+            - jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        )
+        inb = jnp.abs(d) <= half
+        w = jnp.take(win1d, jnp.clip(d + half, 0, window_size - 1))
+        return jnp.where(inb, w, 0.0)
+
+    Bw = band(W)
+    Bh = band(H)
 
     def conv(img):
-        # separable depthwise conv (the gaussian window is an outer
-        # product): 2 x 11 taps instead of 121 — ~5x cheaper, identical
-        # math up to f32 association
-        x = img.transpose(2, 0, 1)[None]  # [1, C, H, W]
-        y = jax.lax.conv_general_dilated(
-            x, k_row, (1, 1), "SAME", feature_group_count=C
-        )
-        y = jax.lax.conv_general_dilated(
-            y, k_col, (1, 1), "SAME", feature_group_count=C
-        )
-        return y[0].transpose(1, 2, 0)
+        # separable blur as two BANDED MATMULS instead of depthwise
+        # convs: a feature_group_count=3 conv uses 3 of the MXU's 128
+        # feature lanes (44 ms fwd+bwd for the 5 SSIM blurs at 1600 px);
+        # the [.,W]@[W,W] / [.,H]@[H,H] products run at full MXU width
+        # and their VJPs are the transposed matmuls. HIGHEST keeps the
+        # accumulation ~f32 (bf16x3); identical math up to association.
+        x = img.transpose(2, 0, 1)  # [C, H, W]
+        x = jax.lax.dot_general(
+            x, Bw, (((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [C, H, W]
+        x = jax.lax.dot_general(
+            x, Bh, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [C, W, H]
+        return x.transpose(2, 1, 0)  # [H, W, C]
 
     mu1 = conv(pred)
     mu2 = conv(gt)
