@@ -54,21 +54,48 @@ def _bilinear_taps(flat, base, e4, R, interpret=False):
     jitter, neither learnable (the reference's nvdiffrast uv-gradients
     equally die at non-learnable rays, lib/models/sky_cubemap.py:99-119).
     """
-    # ONE wide gather instead of 4 narrow ones: pre-shift the table into
-    # [T, 12] rows holding texels (i, i+1, i+R, i+R+1) — 3 static rolls,
-    # ~48 MB of sequential HBM traffic — so the random-access phase
-    # reads one 48-byte row per pixel. Measured 42 -> 27 ms at 1600 px:
-    # gather cost is per-ROW latency-dominated, so halving tap count
-    # beats halving bytes (bf16 table saved only 5 ms more; a packed
-    # [T/8, 54] row table with a per-pixel 8-way lane select measured
-    # 3.5x WORSE — per-lane column extraction is layout-hostile).
-    # Rolled-in wrap values are dead: border folding gives any tap that
-    # would cross a row/face boundary zero weight.
-    tbl = jnp.concatenate(
-        [jnp.roll(flat, -off, axis=0) for off in (0, 1, R, R + 1)], axis=1
-    )
-    taps = jnp.take(tbl, base, axis=0).reshape(*base.shape, 4, 3)
-    return jnp.sum(e4[..., None] * taps, axis=-2)
+    # ONE wide gather instead of 4 narrow ones (gather cost is per-ROW
+    # latency-dominated, so minimizing descriptor count beats minimizing
+    # bytes). Rows pack TEN texels' tap windows: row r holds texels
+    # [10r, 10r+10] and [10r+R, 10r+R+10] (11+11 texels, 66 f32; the
+    # minor dim pads to 128 lanes either way, so a [T, 12] per-texel
+    # table would be 3.2 GB physical and its build alone cost ~13 ms —
+    # [T/10, 66] is 322 MB, ~1 ms). A pixel with base b reads row b//10
+    # and combines its 4 taps (in-row offset j = b%10, j+1 <= 10) in one
+    # shot: multiply by a weight image W66[p, l] that carries e4[p, t]
+    # exactly at tap t's lane and 0 elsewhere (2-D elementwise —
+    # PER-LANE column slicing measured 3.5x worse), then contract the
+    # lane axis with a 0/1 [66, 3] channel-collapse matrix on the MXU.
+    # Out-of-face window values are dead: border folding gives any tap
+    # that would cross a row/face boundary zero weight.
+    T = flat.shape[0]
+    nrows = -(-T // 10)
+    fv = flat.reshape(-1)  # [T*3]
+    fp = jnp.pad(fv, (0, nrows * 30 + 3 * R + 63 - fv.shape[0]))
+    w0 = fp[: nrows * 30].reshape(nrows, 30)
+    w0b = fp[30 : 30 + nrows * 30].reshape(nrows, 30)[:, :3]
+    w1 = fp[3 * R : 3 * R + nrows * 30].reshape(nrows, 30)
+    w1b = fp[3 * R + 30 : 3 * R + 30 + nrows * 30].reshape(nrows, 30)[:, :3]
+    tbl = jnp.concatenate([w0, w0b, w1, w1b], axis=1)  # [T/10, 66]
+
+    bflat = base.reshape(-1)
+    rows = jnp.take(tbl, bflat // 10, axis=0)  # [P, 66]
+    j = (bflat % 10)[:, None]  # [P, 1]
+    ef = e4.reshape(-1, 4)
+    lane = np.arange(66)
+    kvec = jnp.asarray(np.where(lane < 33, lane // 3, (lane - 33) // 3))[None, :]
+    lo = jnp.asarray(lane < 33)[None, :]
+    w_hit = jnp.where(lo, ef[:, 0:1], ef[:, 2:3])
+    w_nxt = jnp.where(lo, ef[:, 1:2], ef[:, 3:4])
+    W66 = jnp.where(kvec == j, w_hit, 0.0) + jnp.where(kvec == j + 1, w_nxt, 0.0)
+    collapse = jnp.asarray((lane[:, None] % 3) == np.arange(3)[None, :], jnp.float32)
+    out = jax.lax.dot_general(
+        rows * W66,
+        collapse,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [P, 3]
+    return out.reshape(*base.shape, 3)
 
 
 def _bt_fwd(flat, base, e4, R, interpret):
@@ -134,7 +161,7 @@ def _bt_bwd(R, interpret, res, d_out):
             [f(srt[1 + i]) for i in range(2 * C) for f in (unpack_hi, unpack_lo)],
             axis=0,
         )  # [4C, L]
-    group = 1024
+    group = 2048
     Tp = _round_up(T, group)
     planes = segsum_lib.segment_rowsum(
         svals, skeys, num_segments=Tp, cap=cap, group=group,

@@ -197,14 +197,30 @@ def make_lr_tree(cfg: Config, table: G.SceneTable, params: SceneParams, aux, ste
 def trimmed_l1_depth(expected, lidar, mask_2d, trim: float = 0.95):
     """Masked L1 over the lowest 95% of per-pixel errors — the static-
     shape equivalent of the reference's topk trimming (train.py:125-132).
+
+    The k-th-smallest threshold comes from a 31-step binary search over
+    IEEE-754 bit patterns (non-negative floats order-match their int
+    bits), not a full-image sort: 31 counting reduces over the [H, W]
+    error map cost ~1.5 ms where the 1.7M-element `jnp.sort` cost ~6 ms.
+    The selected threshold is EXACTLY the sort's k-th smallest value.
     """
     err = jnp.abs(expected - lidar)
-    flat_err = jnp.where(mask_2d, err, jnp.inf).reshape(-1)
+    masked = jnp.where(mask_2d, err, jnp.inf)
     n = jnp.sum(mask_2d)
-    k = jnp.floor(trim * n.astype(jnp.float32)).astype(jnp.int32)
-    sorted_err = jnp.sort(flat_err)
-    # threshold = k-th smallest error (the topk cutoff)
-    thr = sorted_err[jnp.clip(k - 1, 0, flat_err.shape[0] - 1)]
+    k = jnp.maximum(jnp.floor(trim * n.astype(jnp.float32)).astype(jnp.int32), 1)
+    bits = jax.lax.bitcast_convert_type(masked, jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo) // 2  # (lo+hi)//2 overflows int32
+        cnt = jnp.sum(bits <= mid)
+        return jnp.where(cnt >= k, lo, mid + 1), jnp.where(cnt >= k, mid, hi)
+
+    # invariant: k-th smallest bits value in [lo, hi]; +inf bits bound hi
+    lo, hi = jax.lax.fori_loop(
+        0, 31, body, (jnp.int32(0), jnp.int32(0x7F800000))
+    )
+    thr = jax.lax.bitcast_convert_type(hi, jnp.float32)
     keep = (err <= thr) & mask_2d & jnp.isfinite(err)
     return jnp.sum(jnp.where(keep, err, 0.0)) / jnp.maximum(jnp.sum(keep), 1.0)
 

@@ -173,3 +173,27 @@ class TestLosses:
         np.testing.assert_allclose(
             losses.entropy_loss(p), -np.log(0.5), rtol=1e-3
         )
+
+
+def test_trimmed_l1_depth_bisection_matches_sort():
+    """The bit-bisection threshold must EXACTLY equal the full-sort
+    k-th-smallest (ref trimming semantics: train.py:125-132)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from street_gaussians_tpu.train_lib import trimmed_l1_depth
+
+    rng = np.random.default_rng(0)
+    for frac in (0.7, 0.0, 1.0, 0.01, 0.999):
+        H, W = 37, 53
+        exp = jnp.asarray(rng.random((H, W), np.float32) * 10)
+        lid = jnp.asarray(rng.random((H, W), np.float32) * 10)
+        mask = jnp.asarray(rng.random((H, W)) < frac)
+        err = jnp.abs(exp - lid)
+        fe = jnp.where(mask, err, jnp.inf).reshape(-1)
+        n = jnp.sum(mask)
+        k = jnp.maximum(jnp.floor(0.95 * n).astype(jnp.int32), 1)
+        thr = jnp.sort(fe)[jnp.clip(k - 1, 0, fe.shape[0] - 1)]
+        keep = (err <= thr) & mask & jnp.isfinite(err)
+        want = jnp.sum(jnp.where(keep, err, 0.0)) / jnp.maximum(jnp.sum(keep), 1)
+        got = trimmed_l1_depth(exp, lid, mask)
+        assert float(got) == float(want)
