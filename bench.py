@@ -65,7 +65,7 @@ def main():
     H, W = (1064, 1600) if on_tpu else (64, 96)
     num_bkgd = 220_000 if on_tpu else 400
     tile_capacity = 1024 if on_tpu else 128
-    instance_capacity = 2 ** 21 if on_tpu else 2 ** 13
+    instance_capacity = 1536 * 1024 if on_tpu else 2 ** 13  # 1.25M actual at bench scene + headroom; watchdog auto-bumps
     iters = 20 if on_tpu else 2
     warmup = 3 if on_tpu else 1
 

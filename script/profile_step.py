@@ -79,7 +79,7 @@ def main():
     H, W = (880, 1280) if args.half else (1064, 1600)
     num_bkgd = 150_000 if args.half else 220_000
     tile_capacity = 1024
-    instance_capacity = 2 ** 21
+    instance_capacity = 1536 * 1024
 
     scene = make_synthetic_scene(
         num_bkgd=num_bkgd, num_actors=4, H=H, W=W,

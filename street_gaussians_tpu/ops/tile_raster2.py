@@ -139,10 +139,13 @@ def _slot_valid(blk, start, cnt):
 
 
 def _max_steps(num_blocks: int, num_tiles: int) -> int:
-    # every tile has >= 1 step; each of a tile's blocks is one step, and
-    # a block can be shared by adjacent tiles (ragged boundaries), so
-    # charge one extra block per tile
-    return num_blocks + 2 * num_tiles
+    # each of a tile's blocks is one step and a block can be shared by
+    # adjacent tiles (ragged boundaries), so charge one extra block per
+    # tile; EMPTY tiles get no step at all — their output blocks are
+    # patched by a fused `where` after the call (sky regions leave
+    # ~2k empty tiles at bench scale; a step costs ~0.5 us of grid
+    # machinery plus a 128 KB lane-padded output write)
+    return num_blocks + num_tiles + 1
 
 
 def _tile_nblocks(tile_start, tile_count):
@@ -159,7 +162,7 @@ def _flatten_steps(tile_start, tile_count, num_tiles, num_blocks, trash):
     tile id, global payload-block index, block-in-tile, last-step flag."""
     MAXC = _max_steps(num_blocks, num_tiles)
     nblocks_t = _tile_nblocks(tile_start, tile_count)  # [T]
-    nsteps_t = jnp.maximum(nblocks_t, 1)
+    nsteps_t = nblocks_t  # empty tiles: zero steps
     starts = jnp.cumsum(nsteps_t) - nsteps_t
     step = jnp.arange(MAXC, dtype=jnp.int32)
 
@@ -425,12 +428,17 @@ def _fwd_call(payload, tile_start, tile_count, num_features, grid_x, num_tiles,
             pltpu.VMEM((PIX, F), jnp.float32),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, F + 1), jnp.float32),
         interpret=interpret,
     )(ts, blks, ios, lasts, wfs, tile_start, tile_count, payload)
+    # empty tiles got no kernel step: patch their (unwritten) output
+    # blocks with the empty blend state (accum 0, T 1). XLA fuses this
+    # into the downstream image assembly, so it is ~free.
+    tvec = jnp.zeros((F + 1,), jnp.float32).at[F].set(1.0)
+    return jnp.where((tile_count <= 0)[:, None, None], tvec[None, None, :], out)
 
 
 def _bwd_call(payload, tile_start, tile_count, out_res, gout, num_features,
