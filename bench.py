@@ -42,6 +42,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mesh", default=None, help="data=N or tile=N")
     ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument(
+        "--trace",
+        default=None,
+        help="write a jax.profiler trace of the timed train iters to DIR "
+        "(view with tensorboard or xprof; SURVEY §5 tracing hook)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -159,14 +165,31 @@ def main():
     jax.block_until_ready(state.params.gaussians.xyz)
     print(f"[bench] warmup+compile {time.time()-t0:.1f}s", file=sys.stderr)
 
+    import contextlib
+
+    trace_ctx = (
+        jax.profiler.trace(args.trace) if args.trace else contextlib.nullcontext()
+    )
     t0 = time.time()
-    for i in range(iters):
-        key, sub = jax.random.split(key)
-        state, scalars = step_fn(state, frame, gt, sub)
-    # scalar fetch: forces a real device->host roundtrip (through the
-    # axon tunnel, block_until_ready alone may not wait for execution)
-    float(jnp.sum(state.params.gaussians.xyz))
+    with trace_ctx:
+        for i in range(iters):
+            key, sub = jax.random.split(key)
+            state, scalars = step_fn(state, frame, gt, sub)
+        # scalar fetch: forces a real device->host roundtrip (through the
+        # axon tunnel, block_until_ready alone may not wait for execution)
+        float(jnp.sum(state.params.gaussians.xyz))
     dt = time.time() - t0
+    if args.trace:
+        print(f"[bench] profiler trace written to {args.trace}", file=sys.stderr)
+    # honesty guard: capacity drops would silently shrink the blend work
+    # and inflate it/s (bench has no runner-side overflow watchdog)
+    ovf = float(scalars.get("overflow", 0.0))
+    if ovf > 0:
+        print(
+            f"[bench] WARNING: {ovf:.0f} instances dropped by capacity — "
+            f"it/s is NOT comparable; raise instance/tile capacity",
+            file=sys.stderr,
+        )
     iters_per_sec = iters / dt
     print(
         f"[bench] {iters} train iters in {dt:.2f}s -> {iters_per_sec:.2f} it/s",

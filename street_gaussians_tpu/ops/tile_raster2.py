@@ -9,7 +9,8 @@ array with NO 128-alignment (the alignment scatter cost ~13 ms and
 padded every downstream array); boundary blocks are shared between
 adjacent tiles and masked in-kernel by global row range. The kernel
 walks a FLATTENED sequential grid of real (tile, block) pairs — empty
-tiles get one step — with per-step tile/block/flag tables
+tiles get NO step; their output blocks are patched by a fused where —
+with per-step tile/block/flag tables
 scalar-prefetched (a regular (tiles, MAX_BLOCKS) grid wastes ~40% of
 its steps re-visiting tail blocks; grid-step overhead is a first-order
 cost at ~0.7 us/step). The BlockSpec index_map reads the prefetched
@@ -161,9 +162,10 @@ def _flatten_steps(tile_start, tile_count, num_tiles, num_blocks, trash):
     """Per-step tables for the flattened grid (all traced int32 [MAXC]):
     tile id, global payload-block index, block-in-tile, last-step flag."""
     MAXC = _max_steps(num_blocks, num_tiles)
+    # empty tiles get ZERO steps (their output blocks are patched by a
+    # fused where after the call)
     nblocks_t = _tile_nblocks(tile_start, tile_count)  # [T]
-    nsteps_t = nblocks_t  # empty tiles: zero steps
-    starts = jnp.cumsum(nsteps_t) - nsteps_t
+    starts = jnp.cumsum(nblocks_t) - nblocks_t
     step = jnp.arange(MAXC, dtype=jnp.int32)
 
     def expand(vals):
@@ -179,7 +181,6 @@ def _flatten_steps(tile_start, tile_count, num_tiles, num_blocks, trash):
     start_of_step = expand(starts.astype(jnp.int32))
     i_of_step = step - start_of_step
     nblocks_of_step = expand(nblocks_t.astype(jnp.int32))
-    nsteps_of_step = expand(nsteps_t.astype(jnp.int32))
     b0_of_step = expand((tile_start // CHUNK).astype(jnp.int32))
     # block ids are globally NON-DECREASING across real steps (runs are
     # contiguous); empty/tail steps carry the previous real block so an
@@ -198,7 +199,7 @@ def _flatten_steps(tile_start, tile_count, num_tiles, num_blocks, trash):
     write_first = (real & ((blk_mono > prev_blk) | first_real)).astype(
         jnp.int32
     )
-    last_of_step = (i_of_step == nsteps_of_step - 1).astype(jnp.int32)
+    last_of_step = (i_of_step == nblocks_of_step - 1).astype(jnp.int32)
     return tile_of_step, blk_mono, i_of_step, last_of_step, write_first
 
 

@@ -203,6 +203,10 @@ def trimmed_l1_depth(expected, lidar, mask_2d, trim: float = 0.95):
     bits), not a full-image sort: 31 counting reduces over the [H, W]
     error map cost ~1.5 ms where the 1.7M-element `jnp.sort` cost ~6 ms.
     The selected threshold is EXACTLY the sort's k-th smallest value.
+    (One degenerate-state difference vs the sort: if masked errors are
+    NaN — diverged training — the bisection treats them as +inf and
+    still averages the finite errors, where the sort yielded a NaN
+    threshold and a zero loss. The finite-average is the saner signal.)
     """
     err = jnp.abs(expected - lidar)
     masked = jnp.where(mask_2d, err, jnp.inf)

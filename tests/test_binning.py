@@ -192,11 +192,13 @@ def test_flatten_steps_first_real_step_writes():
     nblocks = np.asarray(
         R2._tile_nblocks(tile_start, tile_count), dtype=np.int64
     )
+    # empty tiles get ZERO steps (tile_raster2 patches their output
+    # blocks with a fused where after the call)
     real = np.zeros_like(wfs, bool)
     step = 0
     for t in range(num_tiles):
-        for i in range(max(int(nblocks[t]), 1)):
-            real[step] = i < nblocks[t]
+        for i in range(int(nblocks[t])):
+            real[step] = True
             step += 1
     # every real step's block gets written-first exactly once
     written = set()

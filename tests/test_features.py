@@ -195,3 +195,28 @@ def test_normal_and_semantic_together():
     )
     assert out["normals"].shape == (32, 48, 3)
     assert out["semantic"].shape == (32, 48, 5)
+
+
+def test_sky_bf16_pair_pack_roundtrip():
+    """The TPU sort path packs gradient channels as bf16 pairs in u32
+    words; the round-trip must be exactly astype(bf16).astype(f32) —
+    the rounding the segsum matmul applies to addends anyway — with the
+    hi/lo pairing preserved (a channel swap here would permute all 12
+    sky-gradient channels on TPU only)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from street_gaussians_tpu.models.sky_cubemap import (
+        _pack_bf16_pair,
+        _unpack_bf16_pair,
+    )
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal(4096).astype(np.float32) * 1e-3)
+    b = jnp.asarray(rng.standard_normal(4096).astype(np.float32) * 10)
+    hi, lo = _unpack_bf16_pair(_pack_bf16_pair(a, b))
+    np.testing.assert_array_equal(
+        np.asarray(hi), np.asarray(a.astype(jnp.bfloat16).astype(jnp.float32))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(lo), np.asarray(b.astype(jnp.bfloat16).astype(jnp.float32))
+    )
