@@ -109,3 +109,41 @@ def test_render_sets_from_checkpoint(tmp_path):
 
     results = evaluate_metrics(cfg)
     assert "train" in results and np.isfinite(results["train"]["psnr"])
+
+
+def test_overflow_watchdog_grows_capacity(tmp_path):
+    """Deliberately starved instance_capacity: the watchdog must warn,
+    double the capacity (mutating cfg.render), rebuild the step, and
+    training must finish without error (SURVEY §7 hard part 2 — drops
+    never silently persist)."""
+    root = str(tmp_path / "seq")
+    write_synthetic_waymo(root, num_frames=2, cameras=(0,))
+
+    cfg = load_config()
+    cfg.source_path = root
+    cfg.model_path = str(tmp_path / "out")
+    cfg.trained_model_dir = os.path.join(cfg.model_path, "trained_model")
+    cfg.point_cloud_dir = os.path.join(cfg.model_path, "point_cloud")
+    cfg.record_dir = os.path.join(cfg.model_path, "record")
+    cfg.mode = "train"
+    cfg.data.type = "Waymo"
+    cfg.data.split_train = 1
+    cfg.data.split_test = -1
+    cfg.data.cameras = [0]
+    cfg.model.nsg.include_sky = False
+    cfg.optim.densify_until_iter = 0
+    cfg.optim.opacity_reset_interval = 10 ** 6
+    cfg.train.iterations = 110  # watchdog samples every 10, window 10
+    cfg.train.test_iterations = []
+    cfg.train.save_iterations = []
+    cfg.train.checkpoint_iterations = []
+    cfg.render.tile_capacity = 128
+    # far below the scene's ~440 real instances -> persistent overflow
+    cfg.render.instance_capacity = 256
+
+    from street_gaussians_tpu.runner import training
+
+    training(cfg, progress=False)
+    assert int(cfg.render.instance_capacity) > 256, (
+        "watchdog did not grow the starved instance_capacity"
+    )
