@@ -297,19 +297,51 @@ def training(cfg: Config, progress: bool = True) -> Dict:
     state = train_lib.init_train_state(params, scene.aux_init)
 
     # camera-data-parallel over the device mesh when batch_size > 1
-    # (no reference analog — strictly single-GPU there, SURVEY.md §2.6)
+    # (no reference analog — strictly single-GPU there, SURVEY.md §2.6).
+    # With train.multihost true under a multi-process launcher, the
+    # 'data' mesh spans ALL hosts (gradient all-reduce rides ICI within
+    # a host and DCN across — BASELINE.md's >=85%-to-2-hosts target);
+    # batch_size is GLOBAL, each host stacks batch_size/process_count
+    # local cameras and the stacked batch is globalized per leaf.
     batch_size = int(cfg.train.get("batch_size", 1))
+    multihost = bool(cfg.train.get("multihost", False))
+    n_proc = jax.process_count() if multihost else 1
     use_dp = batch_size > 1 and len(jax.devices()) >= batch_size
     if use_dp:
         from street_gaussians_tpu.parallel.dp import (
             make_data_parallel_train_step,
             make_mesh,
+            make_multihost_mesh,
             stack_frames,
             stack_gts,
         )
 
-        mesh = make_mesh(batch_size)
-        print(f"[dp] camera-data-parallel over {batch_size} devices")
+        if multihost and n_proc > 1:
+            assert batch_size % n_proc == 0, (batch_size, n_proc)
+            mesh = make_multihost_mesh(batch_size // n_proc)
+            print(
+                f"[dp] multi-host camera-DP: {batch_size} cameras over "
+                f"{n_proc} hosts x {batch_size // n_proc} devices"
+            )
+        else:
+            mesh = make_mesh(batch_size)
+            print(f"[dp] camera-data-parallel over {batch_size} devices")
+
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def globalize(tree):
+            """Host-local stacked batch -> global arrays on the mesh.
+            Single-process: exact no-op (jit handles numpy/local arrays)."""
+            if n_proc == 1:
+                return tree
+
+            def one(x):
+                sh = NamedSharding(
+                    mesh, PartitionSpec("data", *([None] * (x.ndim - 1)))
+                )
+                return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+            return jax.tree.map(one, tree)
 
     def build_train_steps():
         """(Re)build the jitted train steps from cfg.render capacities —
@@ -382,6 +414,9 @@ def training(cfg: Config, progress: bool = True) -> Dict:
         if not view_stack:
             view_stack = list(scene.train_views)
             rng.shuffle(view_stack)
+            if n_proc > 1:
+                # disjoint per-host slices of the same shuffled epoch
+                view_stack = view_stack[jax.process_index() :: n_proc] or view_stack
         view = view_stack.pop()
         gt = gt_cache.get(view)
 
@@ -389,9 +424,10 @@ def training(cfg: Config, progress: bool = True) -> Dict:
         if use_dp:
             # one camera per device, same (H, W): pull batch-mates of the
             # same sensor resolution from the stack
+            local_batch = batch_size // n_proc
             batch_views = [view]
             rest = []
-            while view_stack and len(batch_views) < batch_size:
+            while view_stack and len(batch_views) < local_batch:
                 v = view_stack.pop()
                 if (v.H, v.W) == (view.H, view.W):
                     batch_views.append(v)
@@ -399,10 +435,10 @@ def training(cfg: Config, progress: bool = True) -> Dict:
                     rest.append(v)
             view_stack.extend(rest)
             n_unique = len(batch_views)
-            while len(batch_views) < batch_size:  # cycle when short
+            while len(batch_views) < local_batch:  # cycle when short
                 batch_views.append(batch_views[len(batch_views) % n_unique])
-            frames_b = stack_frames([v.frame_input for v in batch_views])
-            gts_b = stack_gts([gt_cache.get(v) for v in batch_views])
+            frames_b = globalize(stack_frames([v.frame_input for v in batch_views]))
+            gts_b = globalize(stack_gts([gt_cache.get(v) for v in batch_views]))
             state, scalars = dp_step_fn(state, frames_b, gts_b, sub)
         else:
             state, scalars = step_fn(state, view.frame_input, gt, sub)

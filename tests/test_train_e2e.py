@@ -147,3 +147,42 @@ def test_overflow_watchdog_grows_capacity(tmp_path):
     assert int(cfg.render.instance_capacity) > 256, (
         "watchdog did not grow the starved instance_capacity"
     )
+
+
+def test_training_loop_camera_dp_batch(tmp_path):
+    """The runner's DP branch end-to-end on the virtual 8-device mesh:
+    batch_size=2 camera-DP training completes, logs, and the multihost
+    gate (single-process) is a no-op."""
+    root = str(tmp_path / "seq")
+    write_synthetic_waymo(root, num_frames=4, cameras=(0,))
+
+    cfg = load_config()
+    cfg.source_path = root
+    cfg.model_path = str(tmp_path / "out")
+    cfg.trained_model_dir = os.path.join(cfg.model_path, "trained_model")
+    cfg.point_cloud_dir = os.path.join(cfg.model_path, "point_cloud")
+    cfg.record_dir = os.path.join(cfg.model_path, "record")
+    cfg.mode = "train"
+    cfg.data.type = "Waymo"
+    cfg.data.split_train = 1
+    cfg.data.split_test = -1
+    cfg.data.cameras = [0]
+    cfg.model.nsg.include_sky = False
+    cfg.optim.densify_until_iter = 0
+    cfg.optim.opacity_reset_interval = 10 ** 6
+    cfg.train.iterations = 12
+    cfg.train.batch_size = 2
+    cfg.train.multihost = True  # single-process: exercises the no-op gate
+    cfg.train.test_iterations = []
+    cfg.train.save_iterations = []
+    cfg.train.checkpoint_iterations = []
+    cfg.render.tile_capacity = 128
+    cfg.render.instance_capacity = 2048
+
+    from street_gaussians_tpu.runner import training
+
+    training(cfg, progress=False)
+    log_path = os.path.join(cfg.record_dir, "train_log.jsonl")
+    records = [json.loads(l) for l in open(log_path)]
+    assert any("loss" in r for r in records)
+    assert all(np.isfinite(r["loss"]) for r in records if "loss" in r)

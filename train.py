@@ -10,4 +10,9 @@ if __name__ == "__main__":
     args = make_argparser("street_gaussians_tpu trainer").parse_args()
     cfg = config_from_args(args)
     cfg.mode = "train"
+    if cfg.train.get("multihost", False):
+        # must run before any other jax API touches devices
+        from street_gaussians_tpu.parallel.dp import init_multihost
+
+        init_multihost()
     training(cfg)
