@@ -15,14 +15,12 @@ import numpy as np
 
 from street_gaussians_tpu.models import gaussians as G
 from street_gaussians_tpu.models.actor_pose import (
-    ActorInterp,
     ActorPoseData,
     build_interp_table,
     init_actor_pose,
 )
 from street_gaussians_tpu.models.renderer import FrameInput
-from street_gaussians_tpu.utils.camera import CameraJax, make_camera
-from street_gaussians_tpu.utils.quaternion import quat_to_rotmat
+from street_gaussians_tpu.utils.camera import make_camera
 
 import jax.numpy as jnp
 

@@ -20,7 +20,6 @@ single-device path to f32 reassociation.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
@@ -31,7 +30,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from street_gaussians_tpu.models import gaussians as G
 from street_gaussians_tpu.models.actor_pose import ActorPoseData
 from street_gaussians_tpu.models.renderer import (
-    FrameInput,
     RenderOptions,
     render_frame,
 )

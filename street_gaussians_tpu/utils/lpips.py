@@ -24,9 +24,8 @@ different metric — an uncalibrated stand-in is NOT LPIPS).
 
 from __future__ import annotations
 
-import functools
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 
