@@ -76,6 +76,14 @@ def test_training_end_to_end(tmp_path):
     assert evals[-1]["train_psnr"] > 9.5
     assert evals[-1]["train_psnr"] > early_psnr + 0.3
 
+    # the documented densify-ordering deviation (optim/densify.py
+    # docstring) is only observable when a clone/split candidate is
+    # simultaneously low-opacity-pruned; assert the monitored counter
+    # stays zero so the "nil in practice" claim is checked with data
+    dens = [r for r in records if "densify/points_order_sensitive" in r]
+    assert dens, "densify rounds should have logged diagnostics"
+    assert all(r["densify/points_order_sensitive"] == 0 for r in dens)
+
 
 def test_render_sets_from_checkpoint(tmp_path):
     root = str(tmp_path / "seq")
