@@ -98,3 +98,41 @@ def test_colmap_reader_text(tmp_path):
     assert len(scene.train_views) == 3
     assert len(scene.test_views) == 1
     assert scene.table.capacity >= 200
+
+
+def test_blender_training_end_to_end(tmp_path):
+    """training() on a Blender-type scene (background-only, white bg):
+    the non-Waymo trainer path the reference equally supports
+    (ref: train.py + lib/datasets/blender/blender_readers)."""
+    import json
+
+    root = str(tmp_path / "blender")
+    _make_blender_dataset(root)
+    cfg = load_config()
+    cfg.source_path = root
+    cfg.model_path = str(tmp_path / "out")
+    cfg.trained_model_dir = os.path.join(cfg.model_path, "trained_model")
+    cfg.point_cloud_dir = os.path.join(cfg.model_path, "point_cloud")
+    cfg.record_dir = os.path.join(cfg.model_path, "record")
+    cfg.mode = "train"
+    cfg.data.type = "Blender"
+    cfg.data.eval = True
+    cfg.data.white_background = True
+    cfg.optim.densify_until_iter = 0
+    cfg.optim.opacity_reset_interval = 10 ** 6
+    cfg.train.iterations = 12
+    cfg.train.test_iterations = [12]
+    cfg.train.save_iterations = []
+    cfg.train.checkpoint_iterations = []
+    cfg.render.tile_capacity = 128
+    cfg.render.instance_capacity = 2 ** 14
+
+    from street_gaussians_tpu.runner import training
+
+    training(cfg, progress=False)
+    records = [
+        json.loads(l)
+        for l in open(os.path.join(cfg.record_dir, "train_log.jsonl"))
+    ]
+    losses = [r["loss"] for r in records if "loss" in r]
+    assert losses and all(np.isfinite(x) for x in losses)
