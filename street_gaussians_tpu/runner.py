@@ -161,7 +161,44 @@ class GTCache:
 
 
 def make_eval_render(cfg: Config, scene: Scene, include_mask=None):
+    """Jitted eval render. `render.parallel` selects a sharded renderer:
+    'tile=N' row(tile)-shards every render over an N-device mesh
+    (parallel/tiles.py), 'gauss=N' shards the Gaussian population
+    (parallel/gauss.py) — both bit-consistent with the single-device
+    path (tests/test_tiles.py, tests/test_gauss_shard.py)."""
     opts = render_opts_from_cfg(cfg, "eval")
+
+    par = str(cfg.render.get("parallel", "") or "")
+    if par:
+        kind, _, n = par.partition("=")
+        n = min(int(n or len(jax.devices())), len(jax.devices()))
+        if n > 1 and kind in ("tile", "gauss"):
+            if kind == "tile":
+                from street_gaussians_tpu.parallel.tiles import (
+                    make_row_sharded_render,
+                    make_tile_mesh,
+                )
+
+                inner = make_row_sharded_render(
+                    scene.table, scene.pose_data, opts, make_tile_mesh(n),
+                    include_mask=include_mask,
+                )
+            else:
+                from street_gaussians_tpu.parallel.gauss import (
+                    make_gauss_mesh,
+                    make_gauss_sharded_render,
+                )
+
+                inner = make_gauss_sharded_render(
+                    scene.table, scene.pose_data, opts, make_gauss_mesh(n),
+                    include_mask=include_mask,
+                )
+            print(f"[render] {kind}-sharded rendering over {n} devices")
+
+            def eval_render(params, aux, frame_inp):
+                return inner(params, aux, frame_inp)
+
+            return eval_render
 
     @jax.jit
     def eval_render(params, aux, frame_inp):

@@ -122,3 +122,50 @@ def test_row_sharding_composes_with_camera_dp():
         np.testing.assert_allclose(
             np.asarray(got[i]), np.asarray(want), atol=2e-5
         )
+
+
+def test_render_parallel_config_path(tmp_path):
+    """`render.parallel: tile=4` through the runner's make_eval_render
+    must match the plain single-device renderer (the render-CLI wiring
+    of the sharded renderers)."""
+    import os
+    from street_gaussians_tpu.config import load_config
+    from street_gaussians_tpu.data.synthetic_waymo import write_synthetic_waymo
+    from street_gaussians_tpu.data import waymo as waymo_mod
+
+    old_h, old_w = waymo_mod.IMAGE_HEIGHTS, waymo_mod.IMAGE_WIDTHS
+    waymo_mod.IMAGE_HEIGHTS, waymo_mod.IMAGE_WIDTHS = [64] * 5, [96] * 5
+    try:
+        root = str(tmp_path / "seq")
+        write_synthetic_waymo(root, num_frames=2, cameras=(0,))
+        cfg = load_config()
+        cfg.source_path = root
+        cfg.model_path = str(tmp_path / "out")
+        cfg.mode = "train"
+        cfg.data.type = "Waymo"
+        cfg.data.split_train = 1
+        cfg.data.split_test = -1
+        cfg.data.cameras = [0]
+        cfg.model.nsg.include_sky = False
+        cfg.render.tile_capacity = 128
+        cfg.render.instance_capacity = 2 ** 12
+
+        from street_gaussians_tpu.runner import (
+            build_initial_params,
+            build_scene,
+            make_eval_render,
+        )
+
+        scene = build_scene(cfg)
+        params = build_initial_params(cfg, scene)
+        plain = make_eval_render(cfg, scene)
+        cfg.render.parallel = "tile=4"
+        sharded = make_eval_render(cfg, scene)
+        f = scene.train_views[0].frame_input
+        a = plain(params, scene.aux_init, f)
+        b = sharded(params, scene.aux_init, f)
+        np.testing.assert_allclose(
+            np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=1e-5, rtol=1e-5
+        )
+    finally:
+        waymo_mod.IMAGE_HEIGHTS, waymo_mod.IMAGE_WIDTHS = old_h, old_w
