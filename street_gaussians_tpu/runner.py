@@ -506,6 +506,20 @@ def training(cfg: Config, progress: bool = True) -> Dict:
         if iteration % 10 == 0:
             loss = float(scalars["loss"])
             psnr_v = float(scalars["psnr"])
+            if not np.isfinite(loss):
+                # failure detection (SURVEY §5): a NaN/inf loss poisons
+                # every later step — fail loudly with full context
+                # instead of training on garbage for hours
+                rec = {k: float(v) for k, v in scalars.items()}
+                rec["iteration"] = iteration
+                rec["event"] = "non_finite_loss"
+                log_f.write(json.dumps(rec) + "\n")
+                log_f.flush()
+                raise RuntimeError(
+                    f"non-finite loss {loss} at iteration {iteration} "
+                    f"(scalars logged to {log_path}); last checkpoint in "
+                    f"{cfg.trained_model_dir}"
+                )
             ema_loss = 0.4 * loss + 0.6 * ema_loss if ema_loss else loss
             ema_psnr = 0.4 * psnr_v + 0.6 * ema_psnr if ema_psnr else psnr_v
 
