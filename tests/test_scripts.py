@@ -90,3 +90,26 @@ def test_generate_lidar_depth_cli(tmp_path):
     assert d["mask"].any()
     vals = d["value"]
     assert np.isfinite(vals).all() and (vals > 0).all()
+
+
+def test_shipped_configs_load():
+    """Every shipped config (incl. the parent_cfg-merged experiment
+    scenes) must load and carry the eval protocol's key fields
+    (ref protocol: configs/experiments_waymo/waymo_val_006.yaml:6-11)."""
+    import glob
+
+    from street_gaussians_tpu.config import load_yaml_with_parents
+
+    files = [
+        f
+        for f in sorted(glob.glob("configs/**/*.yaml", recursive=True))
+        if not f.endswith("_base.yaml")
+    ]
+    assert len(files) >= 10
+    for f in files:
+        cfg = load_yaml_with_parents(f)
+        assert cfg.train.iterations > 0, f
+        if "experiments_waymo" in f:
+            assert cfg.data.split_test == 4, f
+            assert cfg.data.cameras == [0], f
+            assert cfg.optim.densify_until_iter == 15000, f
