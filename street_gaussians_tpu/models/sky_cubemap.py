@@ -32,28 +32,6 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _pack_bf16_pair(a, b):
-    """Two f32 arrays -> one u32 array of bf16 halves (a in the high 16
-    bits, b in the low). Round-trips through `_unpack_bf16_pair` as
-    exactly `astype(bf16).astype(f32)` of each input — the same rounding
-    the segsum matmul applies to every addend at default TPU precision,
-    so sorting packed words instead of f32 channels is bit-neutral."""
-    ua = jax.lax.bitcast_convert_type(a.astype(jnp.bfloat16), jnp.uint16)
-    ub = jax.lax.bitcast_convert_type(b.astype(jnp.bfloat16), jnp.uint16)
-    return (ua.astype(jnp.uint32) << 16) | ub.astype(jnp.uint32)
-
-
-def _unpack_bf16_pair(w):
-    """Inverse of `_pack_bf16_pair`: u32 array -> (a, b) f32 arrays."""
-    hi = jax.lax.bitcast_convert_type(
-        (w >> 16).astype(jnp.uint16), jnp.bfloat16
-    ).astype(jnp.float32)
-    lo = jax.lax.bitcast_convert_type(
-        (w & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.bfloat16
-    ).astype(jnp.float32)
-    return hi, lo
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _bilinear_taps(flat, base, e4, R, interpret=False):
     """4-tap bilinear lookup of a [T, 3] table with a SCATTER-FREE
@@ -157,12 +135,17 @@ def _bt_bwd(R, interpret, res, d_out):
         # every addend to bf16 anyway, and the round-trip through the
         # packed word is that exact rounding.
         packed = [
-            _pack_bf16_pair(chans[2 * i], chans[2 * i + 1]) for i in range(2 * C)
+            segsum_lib.pack_bf16_pair(chans[2 * i], chans[2 * i + 1])
+            for i in range(2 * C)
         ]
         srt = jax.lax.sort((keys, *packed), num_keys=1, is_stable=False)
         skeys = srt[0]
         svals = jnp.stack(
-            [h for i in range(2 * C) for h in _unpack_bf16_pair(srt[1 + i])],
+            [
+                h
+                for i in range(2 * C)
+                for h in segsum_lib.unpack_bf16_pair(srt[1 + i])
+            ],
             axis=0,
         )  # [4C, L]
     group = 2048

@@ -108,9 +108,32 @@ def _bpb_bwd(interpret, res, d_blocks):
         )
         for c in range(C)
     ]
-    srt = jax.lax.sort((keys, *flats), num_keys=1, is_stable=False)
-    skeys = srt[0]
-    svals = jnp.stack(srt[1:], axis=0)  # [C, Lp]
+    if interpret:
+        srt = jax.lax.sort((keys, *flats), num_keys=1, is_stable=False)
+        skeys = srt[0]
+        svals = jnp.stack(srt[1:], axis=0)  # [C, Lp]
+    else:
+        # sort cost scales with operand count: carry the C gradient
+        # channels as bf16 PAIRS in u32 words (C/2 arrays instead of C).
+        # Bit-neutral on TPU: the segment-sum matmul below runs at
+        # default precision, which rounds every addend to bf16 anyway,
+        # and the packed round-trip is exactly that rounding
+        # (the sky backward uses the same trick; helpers tested).
+        assert C % 2 == 0, C
+        packed = [
+            segsum_lib.pack_bf16_pair(flats[2 * i], flats[2 * i + 1])
+            for i in range(C // 2)
+        ]
+        srt = jax.lax.sort((keys, *packed), num_keys=1, is_stable=False)
+        skeys = srt[0]
+        svals = jnp.stack(
+            [
+                h
+                for i in range(C // 2)
+                for h in segsum_lib.unpack_bf16_pair(srt[1 + i])
+            ],
+            axis=0,
+        )  # [C, Lp]
 
     group = 256
     Np = _round_up(n, group)

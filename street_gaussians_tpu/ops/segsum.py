@@ -47,6 +47,29 @@ GROUP = 128  # default segments per output block
 BIG = jnp.int32(1 << 30)  # key value for padding rows (falls in no segment)
 
 
+def pack_bf16_pair(a, b):
+    """Two f32 arrays -> one u32 array of bf16 halves (a high, b low).
+    Round-trips through `unpack_bf16_pair` as exactly
+    `astype(bf16).astype(f32)` of each input — the same rounding the
+    segment-sum matmul applies to every addend at default TPU
+    precision, so sorting packed words instead of f32 channels is
+    bit-neutral for reductions that feed `segment_rowsum`."""
+    ua = jax.lax.bitcast_convert_type(a.astype(jnp.bfloat16), jnp.uint16)
+    ub = jax.lax.bitcast_convert_type(b.astype(jnp.bfloat16), jnp.uint16)
+    return (ua.astype(jnp.uint32) << 16) | ub.astype(jnp.uint32)
+
+
+def unpack_bf16_pair(w):
+    """Inverse of `pack_bf16_pair`: u32 array -> (a, b) f32 arrays."""
+    hi = jax.lax.bitcast_convert_type(
+        (w >> 16).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    lo = jax.lax.bitcast_convert_type(
+        (w & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    return hi, lo
+
+
 def _kernel(
     group_of_step,
     block_of_step,

@@ -205,9 +205,9 @@ def test_sky_bf16_pair_pack_roundtrip():
     sky-gradient channels on TPU only)."""
     import numpy as np
     import jax.numpy as jnp
-    from street_gaussians_tpu.models.sky_cubemap import (
-        _pack_bf16_pair,
-        _unpack_bf16_pair,
+    from street_gaussians_tpu.ops.segsum import (
+        pack_bf16_pair as _pack_bf16_pair,
+        unpack_bf16_pair as _unpack_bf16_pair,
     )
 
     rng = np.random.default_rng(0)
