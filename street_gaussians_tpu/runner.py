@@ -323,13 +323,18 @@ def save_scene_artifacts(cfg: Config, scene: Scene) -> None:
 
 def training(cfg: Config, progress: bool = True) -> Dict:
     """Full training run (ref: train.py:24-225). Returns final metrics."""
+    # multi-host: exactly one writer for artifacts/logs/checkpoints
+    # (parameters are replicated, so process 0 sees the full state)
+    is_writer = jax.process_index() == 0
     os.makedirs(cfg.model_path, exist_ok=True)
-    save_config(cfg, os.path.join(cfg.model_path, "configs", "config_train.yaml"))
+    if is_writer:
+        save_config(cfg, os.path.join(cfg.model_path, "configs", "config_train.yaml"))
     scene = build_scene(cfg)
-    try:
-        save_scene_artifacts(cfg, scene)
-    except Exception as exc:  # artifacts are viewer conveniences only
-        print(f"[warn] scene artifacts not written: {exc}")
+    if is_writer:
+        try:
+            save_scene_artifacts(cfg, scene)
+        except Exception as exc:  # artifacts are viewer conveniences only
+            print(f"[warn] scene artifacts not written: {exc}")
     params = build_initial_params(cfg, scene)
     state = train_lib.init_train_state(params, scene.aux_init)
 
@@ -416,7 +421,7 @@ def training(cfg: Config, progress: bool = True) -> Dict:
     view_stack: List[CameraView] = []
     log_path = os.path.join(cfg.record_dir, "train_log.jsonl")
     os.makedirs(cfg.record_dir, exist_ok=True)
-    log_f = open(log_path, "a")
+    log_f = open(log_path if is_writer else os.devnull, "a")
 
     # optional tensorboard (ref: train.py:227-260 prepare_output_and_logger)
     tb = None
@@ -585,7 +590,7 @@ def training(cfg: Config, progress: bool = True) -> Dict:
 
         # debug image grid every 1000 iters (ref: train.py:146-163):
         # row0 = gt | render | depth ; row1 = acc | objects | obj acc
-        if iteration % 1000 == 0:
+        if iteration % 1000 == 0 and is_writer:
             from street_gaussians_tpu.visualize import save_image, visualize_depth
 
             r = eval_render(state.params, state.aux, view.frame_input)
@@ -613,11 +618,11 @@ def training(cfg: Config, progress: bool = True) -> Dict:
             log_f.write(json.dumps({"iteration": iteration, **report}) + "\n")
             log_f.flush()
 
-        if iteration in cfg.train.save_iterations:
+        if iteration in cfg.train.save_iterations and is_writer:
             ckpt_lib.save_point_cloud(
                 cfg.point_cloud_dir, iteration, state.params.gaussians, state.aux, scene.table
             )
-        if iteration in cfg.train.checkpoint_iterations:
+        if iteration in cfg.train.checkpoint_iterations and is_writer:
             ckpt_lib.save_train_state(cfg.trained_model_dir, iteration, state)
 
     log_f.close()
