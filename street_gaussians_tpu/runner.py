@@ -571,6 +571,9 @@ def training(cfg: Config, progress: bool = True) -> Dict:
                         step_fn = train_fns["step"]
                         if use_dp:
                             dp_step_fn = train_fns["dp_step"]
+                        # evals must see the grown capacity too, or
+                        # test-view renders keep silently dropping
+                        eval_render = make_eval_render(cfg, scene)
         if progress and iteration % 100 == 0:
             dt = time.time() - t_start
             print(
