@@ -196,18 +196,15 @@ def make_data_parallel_train_step(
 
 
 def init_multihost() -> None:
-    """Initialize JAX's multi-host runtime (DCN) when launched under a
-    multi-process coordinator (one process per host; TPU pods set the
-    coordinator env automatically). Call before any jax API. Safe no-op
-    in single-process runs."""
+    """Initialize JAX's multi-host runtime (DCN). MUST run before any
+    backend exists — importing this module already creates one (jnp
+    constants), so the real call site is train.py, which initializes
+    before importing the training machinery. Kept for API completeness;
+    raises if a backend was already created and distributed init is
+    actually needed."""
     import jax
 
-    try:
-        if jax.process_count() > 1:
-            return  # already initialized by the launcher
-        jax.distributed.initialize()
-    except Exception:
-        pass  # single-host
+    jax.distributed.initialize()
 
 
 def make_multihost_mesh(data_per_host: int = None) -> Mesh:
@@ -216,9 +213,22 @@ def make_multihost_mesh(data_per_host: int = None) -> Mesh:
     BASELINE.md >=85%-to-2-hosts scaling target. Use with
     `make_data_parallel_train_step` unchanged (shard_map only sees the
     mesh); each host feeds its local cameras via
-    jax.make_array_from_process_local_data on the stacked batch."""
+    jax.make_array_from_process_local_data on the stacked batch.
+
+    data_per_host selects the first `data_per_host` devices OF EACH
+    process (a plain devices[:n] prefix would take them all from the
+    first hosts and leave later hosts with no addressable device in
+    the mesh)."""
     import jax
 
     devices = jax.devices()  # global, ordered host-major
-    n = len(devices) if data_per_host is None else data_per_host * jax.process_count()
-    return Mesh(np.array(devices[:n]), axis_names=("data",))
+    if data_per_host is not None:
+        per_proc = {}
+        sel = []
+        for d in devices:
+            k = d.process_index
+            if per_proc.get(k, 0) < data_per_host:
+                per_proc[k] = per_proc.get(k, 0) + 1
+                sel.append(d)
+        devices = sel
+    return Mesh(np.array(devices), axis_names=("data",))

@@ -172,7 +172,12 @@ def make_eval_render(cfg: Config, scene: Scene, include_mask=None):
     if par:
         kind, _, n = par.partition("=")
         n = min(int(n or len(jax.devices())), len(jax.devices()))
-        if n > 1 and kind in ("tile", "gauss"):
+        if kind not in ("tile", "gauss"):
+            raise ValueError(
+                f"render.parallel={par!r}: unknown kind {kind!r} "
+                "(expected 'tile=N' or 'gauss=N')"
+            )
+        if n > 1:
             if kind == "tile":
                 from street_gaussians_tpu.parallel.tiles import (
                     make_row_sharded_render,
@@ -194,11 +199,7 @@ def make_eval_render(cfg: Config, scene: Scene, include_mask=None):
                     include_mask=include_mask,
                 )
             print(f"[render] {kind}-sharded rendering over {n} devices")
-
-            def eval_render(params, aux, frame_inp):
-                return inner(params, aux, frame_inp)
-
-            return eval_render
+            return inner
 
     @jax.jit
     def eval_render(params, aux, frame_inp):
@@ -349,6 +350,15 @@ def training(cfg: Config, progress: bool = True) -> Dict:
     multihost = bool(cfg.train.get("multihost", False))
     n_proc = jax.process_count() if multihost else 1
     use_dp = batch_size > 1 and len(jax.devices()) >= batch_size
+    if n_proc > 1 and not use_dp:
+        # without the DP collectives every host would train its own
+        # divergent model on a slice of the data and all of them would
+        # believe they are THE run
+        raise RuntimeError(
+            f"train.multihost with {n_proc} processes requires "
+            f"batch_size >= {n_proc} (got {batch_size}) so the data-"
+            f"parallel step ties the hosts together"
+        )
     if use_dp:
         from street_gaussians_tpu.parallel.dp import (
             make_data_parallel_train_step,
@@ -360,6 +370,16 @@ def training(cfg: Config, progress: bool = True) -> Dict:
 
         if multihost and n_proc > 1:
             assert batch_size % n_proc == 0, (batch_size, n_proc)
+            hw = {(v.H, v.W) for v in scene.train_views}
+            if len(hw) > 1:
+                # hosts stack batches independently; different lead
+                # resolutions at the same step would give the SPMD
+                # collectives inconsistent programs -> deadlock
+                raise RuntimeError(
+                    f"multi-host camera-DP requires a single camera "
+                    f"resolution, got {sorted(hw)} — restrict "
+                    f"data.cameras to one sensor size"
+                )
             mesh = make_multihost_mesh(batch_size // n_proc)
             print(
                 f"[dp] multi-host camera-DP: {batch_size} cameras over "
@@ -457,8 +477,15 @@ def training(cfg: Config, progress: bool = True) -> Dict:
             view_stack = list(scene.train_views)
             rng.shuffle(view_stack)
             if n_proc > 1:
-                # disjoint per-host slices of the same shuffled epoch
-                view_stack = view_stack[jax.process_index() :: n_proc] or view_stack
+                # disjoint per-host slices of the same shuffled epoch,
+                # padded to EQUAL length (wrapping) so every host
+                # refills at the same iteration and the identically-
+                # seeded shuffles stay in lockstep forever
+                per = -(-len(view_stack) // n_proc)
+                mine = view_stack[jax.process_index() :: n_proc]
+                while len(mine) < per:
+                    mine.append(mine[len(mine) % max(len(mine), 1)])
+                view_stack = mine
         view = view_stack.pop()
         gt = gt_cache.get(view)
 
@@ -572,8 +599,12 @@ def training(cfg: Config, progress: bool = True) -> Dict:
                         if use_dp:
                             dp_step_fn = train_fns["dp_step"]
                         # evals must see the grown capacity too, or
-                        # test-view renders keep silently dropping
+                        # test-view/object renders keep silently dropping
                         eval_render = make_eval_render(cfg, scene)
+                        if eval_obj_render is not None:
+                            eval_obj_render = make_eval_render(
+                                cfg, scene, render_object_mask(scene.table)
+                            )
         if progress and iteration % 100 == 0:
             dt = time.time() - t_start
             print(
@@ -593,7 +624,9 @@ def training(cfg: Config, progress: bool = True) -> Dict:
 
         # debug image grid every 1000 iters (ref: train.py:146-163):
         # row0 = gt | render | depth ; row1 = acc | objects | obj acc
-        if iteration % 1000 == 0 and is_writer:
+        if iteration % 1000 == 0:
+            # the renders are jitted SPMD computations: under multihost
+            # every process must enter them; only the writer saves
             from street_gaussians_tpu.visualize import save_image, visualize_depth
 
             r = eval_render(state.params, state.aux, view.frame_input)
@@ -607,13 +640,21 @@ def training(cfg: Config, progress: bool = True) -> Dict:
             else:
                 obj_rgb = np.zeros_like(rgb)
                 obj_acc = np.zeros_like(rgb)
-            row0 = np.concatenate([np.asarray(gt.image), rgb, depth_c / 255.0], axis=1)
-            row1 = np.concatenate([acc, obj_rgb, obj_acc], axis=1)
-            grid = np.clip(np.concatenate([row0, row1], axis=0), 0, 1)
-            os.makedirs(os.path.join(cfg.model_path, "log_images"), exist_ok=True)
-            save_image(
-                os.path.join(cfg.model_path, "log_images", f"{iteration}.jpg"), grid
-            )
+            if is_writer:
+                row0 = np.concatenate(
+                    [np.asarray(gt.image), rgb, depth_c / 255.0], axis=1
+                )
+                row1 = np.concatenate([acc, obj_rgb, obj_acc], axis=1)
+                grid = np.clip(np.concatenate([row0, row1], axis=0), 0, 1)
+                os.makedirs(
+                    os.path.join(cfg.model_path, "log_images"), exist_ok=True
+                )
+                save_image(
+                    os.path.join(
+                        cfg.model_path, "log_images", f"{iteration}.jpg"
+                    ),
+                    grid,
+                )
 
         if iteration in cfg.train.test_iterations:
             report = evaluate_psnr(cfg, scene, state, eval_render)
