@@ -287,3 +287,41 @@ def test_dp_train_mode_deterministic():
     assert not np.array_equal(
         sky_a, np.asarray(s_c.params.sky.cubemap)
     )
+
+
+def test_single_device_multistep_bit_reproducible():
+    """20 consecutive train-mode steps from identical state + seed must
+    be BIT-identical across two runs — the race-free/deterministic
+    claim (no atomics anywhere: scatter-free reductions, stable sorts),
+    at the multi-step horizon where a single nondeterministic bit would
+    amplify."""
+    import dataclasses
+
+    import __graft_entry__ as ge
+    from street_gaussians_tpu.config import default_config
+    from street_gaussians_tpu.train_lib import init_train_state, make_train_step
+
+    scene, params, opts = ge._toy_setup(num_actors=1)
+    opts = dataclasses.replace(opts, mode="train")
+    cfg = default_config()
+    cfg.optim.lambda_sky = 0.05
+    cfg.optim.lambda_depth_lidar = 0.0
+    step_fn = make_train_step(cfg, scene.table, scene.pose_data, opts)
+    view = scene.frames[0]
+    gt = _make_gt(params, scene, view, opts, shift=0.1)
+
+    def run():
+        state = init_train_state(
+            jax.tree.map(jnp.array, params), jax.tree.map(jnp.array, scene.aux)
+        )
+        key = jax.random.PRNGKey(7)
+        for _ in range(20):
+            key, sub = jax.random.split(key)
+            state, _ = step_fn(state, view, gt, sub)
+        return state
+
+    a, b = run(), run()
+    for la, lb in zip(
+        jax.tree_util.tree_leaves(a.params), jax.tree_util.tree_leaves(b.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
