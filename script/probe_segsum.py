@@ -1,5 +1,9 @@
 """Segment-rowsum tuning probe at the sky-backward shape (TPU).
 
+HARNESS CAVEAT: eager-chained timing through the axon tunnel is only
+trustworthy for coarse (>5 ms) stages; for fine-grained op timing use an
+in-jit lax.fori_loop chain (see docs/perf_journal.md measurement note).
+
 Usage: python script/probe_segsum.py
 """
 

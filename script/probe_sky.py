@@ -1,5 +1,9 @@
 """Sky cubemap stage breakdown at bench scale (TPU).
 
+HARNESS CAVEAT: eager-chained timing through the axon tunnel is only
+trustworthy for coarse (>5 ms) stages; for fine-grained op timing use an
+in-jit lax.fori_loop chain (see docs/perf_journal.md measurement note).
+
 Usage: python script/probe_sky.py
 """
 
