@@ -50,6 +50,28 @@ def main():
     )
     args = ap.parse_args()
 
+    # fast-fail when the axon TPU relay is dead: backend creation would
+    # otherwise hang forever inside make_c_api_client (observed when the
+    # relay process on 127.0.0.1:8082+ dies mid-session)
+    import os
+    import socket
+
+    if os.environ.get("JAX_PLATFORMS", "") == "axon":
+        s = socket.socket()
+        s.settimeout(2)
+        try:
+            s.connect(("127.0.0.1", 8082))
+        except OSError:
+            print(
+                '{"metric": "train_iters_per_sec_full_model_1600px", '
+                '"value": 0, "unit": "iters/s", "vs_baseline": 0, '
+                '"error": "axon TPU relay unreachable (127.0.0.1:8082 '
+                'refused); last measured 5.49 it/s — see BASELINE.md"}'
+            )
+            raise SystemExit(2)
+        finally:
+            s.close()
+
     import jax
     import jax.numpy as jnp
 
