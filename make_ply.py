@@ -23,7 +23,7 @@ def main():
     args = make_argparser("street_gaussians_tpu make_ply").parse_args()
     cfg = config_from_args(args)
     cfg.mode = "evaluate"
-    frame_id = cfg.viewer.frame_id if "viewer" in cfg else 0
+    frame_id = cfg.get("viewer", {}).get("frame_id", 0)
 
     scene = build_scene(cfg)
     params = build_initial_params(cfg, scene)
