@@ -114,10 +114,15 @@ def load_ground_truth(view: CameraView, white_background: bool = False) -> Groun
 
 
 def load_waymo_scene(cfg: Config) -> Scene:
-    """Full Waymo scene build (ref: waymo_full_readers.py:16-226)."""
+    """Full Waymo scene build (ref: waymo_full_readers.py:16-226).
+
+    Also serves `data.type: Kitti` — `script/kitti/kitti_converter.py`
+    emits the identical on-disk layout with 2 sensors (the reference's
+    KITTI path is broken in its snapshot; here it is a working family)."""
     d = cfg.data
     path = cfg.source_path
-    cameras = list(d.get("cameras", [0, 1, 2]))
+    default_cams = [0, 1] if d.type == "Kitti" else [0, 1, 2]
+    cameras = list(d.get("cameras", default_cams))
     selected = d.get("selected_frames", None)
 
     colmap_dir = os.path.join(cfg.model_path, "colmap/triangulated/sparse/model")

@@ -50,6 +50,14 @@ IMAGE_HEIGHTS = [1280, 1280, 1280, 886, 886]
 IMAGE_WIDTHS = [1920, 1920, 1920, 1920, 1920]
 
 
+def num_sensors(datadir: str) -> int:
+    """Number of camera sensors in a processed sequence, from the count
+    of `intrinsics/<i>.txt` files (5 for Waymo, 2 for converted KITTI)."""
+    return len(
+        [f for f in os.listdir(os.path.join(datadir, "intrinsics")) if f.endswith(".txt")]
+    )
+
+
 def sensor_image_sizes(image_filenames, cams) -> Dict[int, tuple]:
     """{sensor: (H, W)} from the first on-disk image per sensor."""
     sizes: Dict[int, tuple] = {}
@@ -114,8 +122,9 @@ def get_val_frames(num_frames: int, test_every: Optional[int], train_every: Opti
 
 def load_camera_info(datadir: str):
     """(ref: waymo_utils.py:41-80)"""
+    n_cams = num_sensors(datadir)
     intrinsics, extrinsics = [], []
-    for i in range(5):
+    for i in range(n_cams):
         intr = np.loadtxt(os.path.join(datadir, "intrinsics", f"{i}.txt"))
         fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
         intrinsics.append(np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]]))
@@ -123,7 +132,7 @@ def load_camera_info(datadir: str):
 
     ego_pose_dir = os.path.join(datadir, "ego_pose")
     ego_frame_poses = []
-    ego_cam_poses = [[] for _ in range(5)]
+    ego_cam_poses = [[] for _ in range(n_cams)]
     for name in sorted(os.listdir(ego_pose_dir)):
         pose = np.loadtxt(os.path.join(ego_pose_dir, name))
         if "_" not in name:
@@ -184,7 +193,7 @@ def get_obj_pose_tracking(
     objects_info: Dict[int, dict] = {}
     rows = []
     image_dir = os.path.join(datadir, "images")
-    n_frames_all = len(os.listdir(image_dir)) // 5
+    n_frames_all = len(os.listdir(image_dir)) // num_sensors(datadir)
     n_obj_in_frame = np.zeros(n_frames_all)
 
     for line in tracklets_str:
@@ -317,7 +326,7 @@ def generate_dataparser_outputs(
     image_filenames_all = sorted(glob(os.path.join(image_dir, "*.png"))) or sorted(
         glob(os.path.join(image_dir, "*.jpg"))
     )
-    num_frames_all = len(image_filenames_all) // 5
+    num_frames_all = len(image_filenames_all) // num_sensors(datadir)
     num_cameras = len(cameras)
 
     if selected_frames is None:

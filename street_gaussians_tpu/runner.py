@@ -45,7 +45,9 @@ from street_gaussians_tpu.utils import losses as L
 def build_scene(cfg: Config) -> Scene:
     """Dataset dispatch (ref: lib/datasets/dataset.py:11-15)."""
     dtype = cfg.data.type
-    if dtype == "Waymo":
+    if dtype in ("Waymo", "Kitti"):
+        # KITTI sequences are converted to the same on-disk layout by
+        # script/kitti/kitti_converter.py (2 sensors instead of 5)
         return load_waymo_scene(cfg)
     if dtype == "Colmap":
         from street_gaussians_tpu.data.static_readers import load_colmap_scene
