@@ -92,8 +92,15 @@ def main():
     # the axon tunnel's patience on cold cache — revisit when cached.
     H, W = (1064, 1600) if on_tpu else (64, 96)
     num_bkgd = 220_000 if on_tpu else 400
-    tile_capacity = 1024 if on_tpu else 128
-    instance_capacity = 1536 * 1024 if on_tpu else 2 ** 13  # 1.25M actual at bench scene + headroom; watchdog auto-bumps
+    # instance layout: tile_capacity is only a depth-rank mask (no
+    # allocation scales with it) — keep EVERY instance so the blend
+    # matches reference semantics exactly (the CUDA kernel has no per-
+    # tile cap either, forward.cu:390-455; early termination bounds the
+    # real work in both). A 1024 cap measured 4.29->? it/s faster but
+    # dropped ~220k instances whose absence shifts 0.24% of pixels by
+    # >1/255 at this scene — not an honest speedup.
+    instance_capacity = 1536 * 1024 if on_tpu else 2 ** 13  # 1.25M actual + headroom
+    tile_capacity = instance_capacity if on_tpu else 128
     iters = 20 if on_tpu else 2
     warmup = 3 if on_tpu else 1
 
