@@ -329,9 +329,14 @@ def bin_gaussians_instances(
     # alignment scatter is needed at all (a [S_pad] scatter-set cost
     # ~13 ms and 128-aligned padding grew every downstream array by
     # 128 * num_tiles slots). ----
-    running_start = jax.lax.cummax(jnp.where(boundary, s, 0))
-    rank = s - running_start
-    keep = (st < num_tiles) & (rank < tile_capacity)
+    if tile_capacity >= instance_capacity:
+        # cap can never bind (a tile cannot hold more instances than
+        # exist) — skip the rank machinery (a second S-scale cummax)
+        keep = st < num_tiles
+    else:
+        running_start = jax.lax.cummax(jnp.where(boundary, s, 0))
+        rank = s - running_start
+        keep = (st < num_tiles) & (rank < tile_capacity)
     inst_gauss = jnp.where(keep, sg, -1)
 
     instance_overflow = jnp.maximum(total - instance_capacity, 0)

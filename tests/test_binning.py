@@ -212,3 +212,17 @@ def test_flatten_steps_first_real_step_writes():
         else:
             assert wfs[s] == 0 or blks[s] not in written
     assert written == set(range(nb))
+
+
+def test_unbounded_tile_capacity_matches_finite():
+    # tile_capacity >= instance_capacity takes the mask-free fast path;
+    # it must agree with a finite cap that also never binds
+    grid_x, grid_y = 6, 5
+    screen = make_screen(300, grid_x, grid_y, seed=3)
+    IC = 2 ** 13
+    a = B.bin_gaussians_instances(screen, grid_x, grid_y, IC, IC)
+    b = B.bin_gaussians_instances(screen, grid_x, grid_y, IC, IC - 1)
+    assert int(a.overflow_tile) == 0 and int(b.overflow_tile) == 0
+    np.testing.assert_array_equal(np.asarray(a.inst_gauss), np.asarray(b.inst_gauss))
+    np.testing.assert_array_equal(np.asarray(a.tile_count), np.asarray(b.tile_count))
+    np.testing.assert_array_equal(np.asarray(a.tile_start), np.asarray(b.tile_start))
