@@ -84,6 +84,13 @@ def read_calib(path: str):
         P = out[f"P{i}"].reshape(3, 4)
         calib[f"P{i}"] = P
     rect = out.get("R_rect", out.get("R0_rect"))
+    if rect is None:
+        raise ValueError(
+            f"{path}: no rectification matrix found — expected a KITTI "
+            f"tracking calib with key 'R_rect' (or 'R0_rect'); raw-data "
+            f"per-camera keys like 'R_rect_00' are not supported, run the "
+            f"devkit's tracking export first (keys present: {sorted(out)})"
+        )
     calib["R_rect"] = rect.reshape(3, 3)
     for src, dst in (("Tr_velo_cam", "Tr_velo_cam"), ("Tr_velo_to_cam", "Tr_velo_cam"),
                      ("Tr_imu_velo", "Tr_imu_velo"), ("Tr_imu_to_velo", "Tr_imu_velo")):
@@ -91,6 +98,13 @@ def read_calib(path: str):
             T = np.eye(4)
             T[:3] = out[src].reshape(3, 4)
             calib[dst] = T
+    for req in ("Tr_velo_cam", "Tr_imu_velo"):
+        if req not in calib:
+            raise ValueError(
+                f"{path}: missing '{req}' (or its '_to_' spelling) — "
+                f"expected KITTI tracking calib keys P2 P3 R_rect "
+                f"Tr_velo_cam Tr_imu_velo (keys present: {sorted(out)})"
+            )
     return calib
 
 
@@ -228,10 +242,16 @@ def convert(kitti_dir: str, seq: str, out_dir: str, start: int = 0, end: int | N
             continue
         fi = row["frame"] - start
         cls = KITTI_CLASS_MAP.get(row["kitti_type"], "misc")
-        # rectified-cam0 bottom-center -> ego-frame box center
-        c_rect = row["loc"] + np.array([0.0, -row["h"] / 2.0, 0.0])
-        c_ego = (imu_from_cam0rect @ np.append(c_rect, 1.0))[:3]
-        # box x-axis in rect coords is (cos ry, 0, -sin ry); z-yaw in ego
+        # rectified-cam0 bottom-center -> ego frame, then lift by h/2
+        # along ego +z (IMU z is up) — NOT along cam -y, which tilts the
+        # center whenever the camera is pitched relative to the IMU
+        c_ego = (imu_from_cam0rect @ np.append(row["loc"], 1.0))[:3]
+        c_ego = c_ego + np.array([0.0, 0.0, row["h"] / 2.0])
+        # box x-axis in rect coords is (cos ry, 0, -sin ry); the shared
+        # track_info format stores a z-yaw only (Waymo convention), so
+        # the axis is projected onto the ego xy-plane — any camera
+        # pitch/roll vs the IMU makes converted boxes approximate by
+        # that residual tilt (small for KITTI's near-level rigs)
         d_rect = np.array([np.cos(row["ry"]), 0.0, -np.sin(row["ry"])])
         d_ego = imu_from_cam0rect[:3, :3] @ d_rect
         heading = float(np.arctan2(d_ego[1], d_ego[0]))
@@ -276,17 +296,34 @@ def convert(kitti_dir: str, seq: str, out_dir: str, start: int = 0, end: int | N
                 f"{box['center'][0]:.4f} {box['center'][1]:.4f} "
                 f"{box['center'][2]:.4f} {box['heading']:.6f} {speed:.4f}"
             )
-            # camera visibility: project the ego-frame center into each cam
+            # camera visibility: project all 8 box corners into each cam
+            # and mark it visible if ANY lands in the ±20% margin — a
+            # center-only test drops large objects partially in frame
+            # whose center sits outside the margin
+            ch, cs = np.cos(box["heading"]), np.sin(box["heading"])
+            R_box = np.array([[ch, -cs, 0.0], [cs, ch, 0.0], [0.0, 0.0, 1.0]])
+            half = 0.5 * np.array([box["l"], box["w"], box["h"]])
+            signs = np.array(
+                [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+            )
+            corners = box["center"] + (signs * half) @ R_box.T  # [8, 3]
             vis = []
             for c in (0, 1):
                 cam_from_ego = np.linalg.inv(cam_to_ego[c])
-                p = (cam_from_ego @ np.append(box["center"], 1.0))[:3]
-                if p[2] <= 0.1:
+                p = corners @ cam_from_ego[:3, :3].T + cam_from_ego[:3, 3]
+                front = p[:, 2] > 0.1
+                if not front.any():
                     continue
-                uv = Ks[c] @ p
-                u, v = uv[0] / uv[2], uv[1] / uv[2]
+                uv = p[front] @ Ks[c].T
+                u, v = uv[:, 0] / uv[:, 2], uv[:, 1] / uv[:, 2]
                 Himg, Wimg = sizes[c]
-                if -0.2 * Wimg <= u <= 1.2 * Wimg and -0.2 * Himg <= v <= 1.2 * Himg:
+                inside = (
+                    (u >= -0.2 * Wimg)
+                    & (u <= 1.2 * Wimg)
+                    & (v >= -0.2 * Himg)
+                    & (v <= 1.2 * Himg)
+                )
+                if inside.any():
                     vis.append(c)
             camera_vis.setdefault(str(tid), {})[str(fi)] = vis
 

@@ -102,7 +102,8 @@ def make_data_parallel_train_step(
             aux=aux, table=table,
         )
         scalars["psnr"] = L.psnr(out["rgb"], gt.image, gt.mask)
-        return loss, (scalars, out["radii"])
+        ovf = (out["overflow"], out["overflow_instance"], out["overflow_tile"])
+        return loss, (scalars, out["radii"], ovf)
 
     @partial(
         jax.shard_map,
@@ -121,7 +122,7 @@ def make_data_parallel_train_step(
         m2d_off = jnp.zeros((C, 2), jnp.float32)
         abs_dummy = jnp.zeros((C, 2), jnp.float32)
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
-        (loss, (scalars, radii)), grads = grad_fn(
+        (loss, (scalars, radii, ovf)), grads = grad_fn(
             state.params, m2d_off, abs_dummy, state.aux, frame_inp, gt, dev_key, step
         )
         g_params, g_m2d, g_abs = grads
@@ -154,6 +155,12 @@ def make_data_parallel_train_step(
         g_params = jax.lax.pmean(g_params, "data")
         scalars = jax.lax.pmean(scalars, "data")
         scalars["num_alive"] = jnp.sum(aux.alive)
+        # overflow counters SUMMED (not averaged) over the batch so the
+        # runner's watchdog sees every dropped instance on every device —
+        # without this, capacity drops were invisible at batch_size > 1
+        scalars["overflow"] = jax.lax.psum(ovf[0], "data")
+        scalars["overflow_instance"] = jax.lax.psum(ovf[1], "data")
+        scalars["overflow_tile"] = jax.lax.psum(ovf[2], "data")
 
         in_range = (frame_inp.cam.frame >= table.start_frame[aux.model_id]) & (
             frame_inp.cam.frame <= table.end_frame[aux.model_id]
