@@ -96,9 +96,10 @@ def main():
     # allocation scales with it) — keep EVERY instance so the blend
     # matches reference semantics exactly (the CUDA kernel has no per-
     # tile cap either, forward.cu:390-455; early termination bounds the
-    # real work in both). A 1024 cap measured 4.29->? it/s faster but
-    # dropped ~220k instances whose absence shifts 0.24% of pixels by
-    # >1/255 at this scene — not an honest speedup.
+    # real work in both). A 1024 cap measured 4.29 it/s under test-suite
+    # contention vs 5.65 it/s uncapped on a quiet chip, and dropped
+    # ~220k instances whose absence shifts 0.24% of pixels by >1/255 at
+    # this scene — not an honest speedup (docs/perf_journal.md wave 4).
     instance_capacity = 1536 * 1024 if on_tpu else 2 ** 13  # 1.25M actual + headroom
     tile_capacity = instance_capacity if on_tpu else 128
     iters = 20 if on_tpu else 2
@@ -242,6 +243,11 @@ def main():
                 "value": round(iters_per_sec, 3),
                 "unit": "iters/s",
                 "vs_baseline": round(iters_per_sec / A100_ITERS_PER_SEC_PROVISIONAL, 3),
+                # the denominator is the FLOOR of BASELINE.md's analytic
+                # 10-20 it/s A100 band (no measured A100 number exists;
+                # the reference repo publishes none) — vs_baseline would
+                # read 0.28-0.57x across that band
+                "baseline_band": "A100 analytic 10-20 it/s (BASELINE.md)",
             }
         )
     )
@@ -282,16 +288,27 @@ def run_mesh_bench(kind, n, cfg, scene, params, opts, H, W, iters, warmup):
         gts_b = stack_gts([gt1] * n)
         state = train_lib.init_train_state(params, scene.aux)
         key = jax.random.PRNGKey(0)
+        scalars = {}
         for _ in range(warmup):
             key, sub = jax.random.split(key)
-            state, _ = dp_fn(state, frames_b, gts_b, sub)
+            state, scalars = dp_fn(state, frames_b, gts_b, sub)
         float(jnp.sum(state.params.gaussians.xyz[:1]))
         t0 = time.time()
         for _ in range(iters):
             key, sub = jax.random.split(key)
-            state, _ = dp_fn(state, frames_b, gts_b, sub)
+            state, scalars = dp_fn(state, frames_b, gts_b, sub)
         float(jnp.sum(state.params.gaussians.xyz[:1]))
         dt = time.time() - t0
+        # same honesty guard as the single-chip path: dropped instances
+        # shrink the blend work and inflate cameras/s
+        ovf = float(scalars.get("overflow", 0.0))
+        if ovf > 0:
+            print(
+                f"[bench] WARNING: {ovf:.0f} instances dropped by capacity "
+                f"across the batch — cameras/s is NOT comparable; raise "
+                f"instance/tile capacity",
+                file=sys.stderr,
+            )
         steps_per_sec = iters / dt
         cams_per_sec = steps_per_sec * n
         print(
@@ -344,8 +361,70 @@ def run_mesh_bench(kind, n, cfg, scene, params, opts, H, W, iters, warmup):
                 }
             )
         )
+    elif kind == "gauss":
+        # Gaussian-sharded TRAINING: params + Adam rows split over N
+        # chips (parallel/gauss.py make_gauss_sharded_train_step) — the
+        # larger-than-chip-HBM mode; docs/memory_model.md for the
+        # per-chip budget this buys
+        from street_gaussians_tpu.parallel.gauss import (
+            make_gauss_mesh,
+            make_gauss_sharded_train_step,
+            shard_train_state,
+        )
+
+        C = scene.table.capacity
+        while C % n:
+            n -= 1
+        mesh = make_gauss_mesh(n)
+        step_fn = make_gauss_sharded_train_step(
+            cfg, scene.table, scene.pose_data, opts, mesh
+        )
+        state = shard_train_state(
+            train_lib.init_train_state(params, scene.aux), mesh
+        )
+        shard_rows = state.params.gaussians.xyz.addressable_shards[0].data.shape[0]
+        print(
+            f"[bench] gauss={n}: {C} rows -> {shard_rows}/chip",
+            file=sys.stderr,
+        )
+        key = jax.random.PRNGKey(0)
+        scalars = {}
+        for _ in range(warmup):
+            key, sub = jax.random.split(key)
+            state, scalars = step_fn(state, frame, gt1, sub)
+        float(jnp.sum(state.params.gaussians.xyz[:1]))
+        t0 = time.time()
+        for _ in range(iters):
+            key, sub = jax.random.split(key)
+            state, scalars = step_fn(state, frame, gt1, sub)
+        float(jnp.sum(state.params.gaussians.xyz[:1]))
+        dt = time.time() - t0
+        ovf = float(scalars.get("overflow", 0.0))
+        if ovf > 0:
+            print(
+                f"[bench] WARNING: {ovf:.0f} instances dropped by capacity "
+                f"— it/s is NOT comparable",
+                file=sys.stderr,
+            )
+        its = iters / dt
+        print(
+            f"[bench] gauss-sharded train gauss={n}: {its:.2f} it/s",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": f"train_iters_per_sec_gaussshard{n}_1600px",
+                    "value": round(its, 3),
+                    "unit": "iters/s",
+                    "vs_baseline": round(its / A100_ITERS_PER_SEC_PROVISIONAL, 3),
+                }
+            )
+        )
     else:
-        raise SystemExit(f"unknown mesh kind {kind!r} (use data=N or tile=N)")
+        raise SystemExit(
+            f"unknown mesh kind {kind!r} (use data=N, tile=N, or gauss=N)"
+        )
 
 
 if __name__ == "__main__":

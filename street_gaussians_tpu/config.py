@@ -92,6 +92,12 @@ def default_config() -> Config:
                 "checkpoint_iterations": [30000],
                 "start_checkpoint": None,
                 "batch_size": 1,  # cameras per step (data-parallel axis)
+                # Gaussian-sharded training (parallel/gauss.py): split the
+                # packed Gaussian rows + their Adam state over N chips so a
+                # scene larger than one chip's HBM can be TRAINED. Composes
+                # with batch_size>1 on a 2D ('data','gauss') mesh; needs
+                # batch_size*gauss_shards <= devices. 0/1 = off.
+                "gauss_shards": 0,
             },
             "optim": {
                 "position_lr_init": 0.00016,
@@ -186,12 +192,26 @@ def default_config() -> Config:
                 "concat_cameras": [],
                 "scaling_modifier": 1.0,
                 # TPU pipeline static capacities (no reference analog —
-                # the CUDA code grows buffers dynamically)
-                "tile_capacity": 1024,
+                # the CUDA code grows buffers dynamically). tile_capacity
+                # 0 = uncapped (= instance_capacity): in the ragged
+                # layout the per-tile rank mask is then skipped entirely
+                # (binning.py) and the blend matches the reference's
+                # uncapped early-terminating loop (forward.cu:390-455).
+                # A finite cap is an experiment knob only — measured to
+                # drop ~18% of instances at bench scale (perf_journal
+                # wave 4), so it is no longer the default.
+                "tile_capacity": 0,
                 "instance_capacity": 2097152,
                 # double the exceeded capacity when overflow persists
                 # (bounded recompiles; see runner.py overflow watchdog)
                 "auto_grow_capacity": True,
+                # how many doublings the watchdog may apply per capacity
+                "grow_budget": 3,
+                # when overflow persists and growth is impossible
+                # (budget exhausted / ceiling / auto_grow off):
+                # 'error' fails loudly like the non-finite-loss path,
+                # 'warn' keeps training on dropped instances
+                "overflow_policy": "error",
             },
             # SIBR remote viewer bridge (ref: lib/config/config.py:12-13)
             "viewer": {

@@ -130,6 +130,12 @@ def render_opts_from_cfg(cfg: Config, mode: str) -> RenderOptions:
     interpret = bool(cfg.render.get("interpret", False))
     if jax.default_backend() == "cpu":
         interpret = True
+    ic = int(cfg.render.get("instance_capacity", 2 ** 21))
+    # tile_capacity 0/None = uncapped: the per-tile depth-rank mask is
+    # skipped (binning.py) and no tile overflow can ever occur — the
+    # honest default (perf_journal wave 4 measured an 18%-instance drop
+    # under the old 1024 cap at bench scale)
+    tc = int(cfg.render.get("tile_capacity", 0) or 0) or ic
     return RenderOptions(
         mode=mode,
         render_normal=cfg.render.get("render_normal", False),
@@ -137,8 +143,8 @@ def render_opts_from_cfg(cfg: Config, mode: str) -> RenderOptions:
         semantic_mode=cfg.model.gaussian.get("semantic_mode", "logits"),
         white_background=cfg.data.get("white_background", False),
         scaling_modifier=cfg.render.get("scaling_modifier", 1.0),
-        tile_capacity=cfg.render.get("tile_capacity", 1024),
-        instance_capacity=cfg.render.get("instance_capacity", 2 ** 21),
+        tile_capacity=tc,
+        instance_capacity=ic,
         interpret=interpret,
     )
 
@@ -351,7 +357,32 @@ def training(cfg: Config, progress: bool = True) -> Dict:
     batch_size = int(cfg.train.get("batch_size", 1))
     multihost = bool(cfg.train.get("multihost", False))
     n_proc = jax.process_count() if multihost else 1
-    use_dp = batch_size > 1 and len(jax.devices()) >= batch_size
+    # Gaussian-sharded training (train.gauss_shards = N): parameters AND
+    # Adam state row-sharded over a 'gauss' axis — the larger-than-chip-
+    # HBM path (parallel/gauss.py; no reference analog, the reference is
+    # single-GPU). Composes with batch_size > 1 on a ('data','gauss')
+    # 2D mesh.
+    gauss_shards = int(cfg.train.get("gauss_shards", 0) or 0)
+    use_gauss = gauss_shards > 1
+    if use_gauss:
+        if multihost and n_proc > 1:
+            raise NotImplementedError(
+                "train.gauss_shards with multiple processes is not wired "
+                "yet — use camera-DP (train.multihost) across hosts and "
+                "gauss-sharding within one host"
+            )
+        need = gauss_shards * (batch_size if batch_size > 1 else 1)
+        if need > len(jax.devices()):
+            raise RuntimeError(
+                f"train.gauss_shards={gauss_shards} x batch_size="
+                f"{batch_size} needs {need} devices, have {len(jax.devices())}"
+            )
+        if scene.table.capacity % gauss_shards != 0:
+            raise RuntimeError(
+                f"scene capacity {scene.table.capacity} not divisible by "
+                f"gauss_shards={gauss_shards}"
+            )
+    use_dp = (not use_gauss) and batch_size > 1 and len(jax.devices()) >= batch_size
     if n_proc > 1 and not use_dp:
         # without the DP collectives every host would train its own
         # divergent model on a slice of the data and all of them would
@@ -361,6 +392,31 @@ def training(cfg: Config, progress: bool = True) -> Dict:
             f"batch_size >= {n_proc} (got {batch_size}) so the data-"
             f"parallel step ties the hosts together"
         )
+    batched = use_dp or (use_gauss and batch_size > 1)
+    gmesh = None
+    if use_gauss:
+        from jax.sharding import Mesh as _Mesh
+
+        from street_gaussians_tpu.parallel.gauss import (
+            make_gauss_mesh,
+            make_gauss_sharded_train_step,
+            shard_train_state,
+        )
+
+        if batch_size > 1:
+            devs = np.array(jax.devices()[: batch_size * gauss_shards])
+            gmesh = _Mesh(
+                devs.reshape(batch_size, gauss_shards), ("data", "gauss")
+            )
+            print(
+                f"[gauss] sharded training: {gauss_shards} row shards x "
+                f"{batch_size} cameras (2D mesh)"
+            )
+        else:
+            gmesh = make_gauss_mesh(gauss_shards)
+            print(f"[gauss] sharded training over {gauss_shards} row shards")
+    if batched and not use_dp:
+        from street_gaussians_tpu.parallel.dp import stack_frames, stack_gts
     if use_dp:
         from street_gaussians_tpu.parallel.dp import (
             make_data_parallel_train_step,
@@ -412,7 +468,16 @@ def training(cfg: Config, progress: bool = True) -> Dict:
         called again after an overflow-driven capacity bump (bounded
         recompiles at doubling steps, SURVEY.md §7 hard part 2)."""
         opts = render_opts_from_cfg(cfg, "train")
-        fns = {"step": train_lib.make_train_step(cfg, scene.table, scene.pose_data, opts)}
+        fns = {}
+        if use_gauss:
+            fns["gauss_step"] = make_gauss_sharded_train_step(
+                cfg, scene.table, scene.pose_data, opts, gmesh,
+                data_axis="data" if batch_size > 1 else None,
+            )
+        else:
+            fns["step"] = train_lib.make_train_step(
+                cfg, scene.table, scene.pose_data, opts
+            )
         if use_dp:
             fns["dp_step"] = make_data_parallel_train_step(
                 cfg, scene.table, scene.pose_data, opts, mesh
@@ -420,7 +485,9 @@ def training(cfg: Config, progress: bool = True) -> Dict:
         return fns
 
     train_fns = build_train_steps()
-    step_fn = train_fns["step"]
+    step_fn = train_fns.get("step")
+    if use_gauss:
+        gauss_step_fn = train_fns["gauss_step"]
     if use_dp:
         dp_step_fn = train_fns["dp_step"]
     densify_fn = train_lib.make_densify_fn(cfg, scene.table)
@@ -433,6 +500,10 @@ def training(cfg: Config, progress: bool = True) -> Dict:
         if restored is not None:
             state, start_iter = restored, it
             print(f"[resume] restored iteration {it}")
+    if use_gauss:
+        # distribute the row leaves (params + Adam moments + aux) over
+        # the 'gauss' axis — per-chip HBM for the Gaussian state ~1/N
+        state = shard_train_state(state, gmesh)
 
     o = cfg.optim
     iters = cfg.train.iterations
@@ -466,11 +537,20 @@ def training(cfg: Config, progress: bool = True) -> Dict:
     # ---- overflow watchdog (SURVEY.md §7 hard part 2): capacity drops
     # must never silently bias training. Persistent overflow triggers a
     # loud warning and (by default) doubles the exceeded capacity,
-    # rebuilding the jitted steps — a bounded number of recompiles. ----
+    # rebuilding the jitted steps — a bounded number of recompiles.
+    # When growth is impossible (budget exhausted / ceiling reached /
+    # auto_grow off) the default policy fails loudly like the
+    # non-finite-loss path: silent persistent drops are the one way
+    # training can quietly diverge from reference semantics
+    # (forward.cu:390-455 blends every instance). ----
     overflow_window: List[tuple] = []
     auto_grow = bool(cfg.render.get("auto_grow_capacity", True))
-    grow_budget = {"tile": 3, "instance": 3}
-    max_caps = {"tile": 4096, "instance": 2 ** 23}
+    budget0 = int(cfg.render.get("grow_budget", 3))
+    grow_budget = {"tile": budget0, "instance": budget0}
+    # a tile cap may grow until it stops binding (= instance capacity);
+    # growing past that point means "uncapped" (tile_capacity 0)
+    max_caps = {"tile": None, "instance": 2 ** 23}
+    overflow_policy = str(cfg.render.get("overflow_policy", "error"))
     viewer = (
         ViewerBridge(cfg, scene) if cfg.get("viewer", {}).get("enabled") else None
     )
@@ -492,7 +572,7 @@ def training(cfg: Config, progress: bool = True) -> Dict:
         gt = gt_cache.get(view)
 
         key, sub = jax.random.split(key)
-        if use_dp:
+        if batched:
             # one camera per device, same (H, W): pull batch-mates of the
             # same sensor resolution from the stack
             local_batch = batch_size // n_proc
@@ -508,9 +588,15 @@ def training(cfg: Config, progress: bool = True) -> Dict:
             n_unique = len(batch_views)
             while len(batch_views) < local_batch:  # cycle when short
                 batch_views.append(batch_views[len(batch_views) % n_unique])
-            frames_b = globalize(stack_frames([v.frame_input for v in batch_views]))
-            gts_b = globalize(stack_gts([gt_cache.get(v) for v in batch_views]))
-            state, scalars = dp_step_fn(state, frames_b, gts_b, sub)
+            frames_b = stack_frames([v.frame_input for v in batch_views])
+            gts_b = stack_gts([gt_cache.get(v) for v in batch_views])
+            if use_dp:
+                frames_b, gts_b = globalize(frames_b), globalize(gts_b)
+                state, scalars = dp_step_fn(state, frames_b, gts_b, sub)
+            else:
+                state, scalars = gauss_step_fn(state, frames_b, gts_b, sub)
+        elif use_gauss:
+            state, scalars = gauss_step_fn(state, view.frame_input, gt, sub)
         else:
             state, scalars = step_fn(state, view.frame_input, gt, sub)
 
@@ -526,16 +612,25 @@ def training(cfg: Config, progress: bool = True) -> Dict:
                 key, sub = jax.random.split(key)
                 prune_big = jnp.asarray(iteration > o.opacity_reset_interval)
                 state, ddiag = densify_fn(state, sub, prune_big)
+                if use_gauss:
+                    # densify is jitted without manual sharding (GSPMD
+                    # inserts the cross-shard moves for the compaction);
+                    # re-place the rows so the hot step stays sharded
+                    state = shard_train_state(state, gmesh)
                 rec = {f"densify/{k}": int(v) for k, v in ddiag.items()}
                 rec["iteration"] = iteration
                 log_f.write(json.dumps(rec) + "\n")
             if iteration % o.opacity_reset_interval == 0:
                 state = reset_fn(state)
+                if use_gauss:
+                    state = shard_train_state(state, gmesh)
             if (
                 cfg.data.get("white_background", False)
                 and iteration == o.densify_from_iter
             ):
                 state = reset_fn(state)
+                if use_gauss:
+                    state = shard_train_state(state, gmesh)
 
         if iteration % 10 == 0:
             loss = float(scalars["loss"])
@@ -572,28 +667,33 @@ def training(cfg: Config, progress: bool = True) -> Dict:
                     if hits < 5:
                         continue
                     cap_key = f"{kind}_capacity"
+                    inst_cap = int(cfg.render.get("instance_capacity", 2 ** 21))
                     cap = int(
-                        cfg.render.get(
-                            cap_key, 1024 if kind == "tile" else 2 ** 21
-                        )
+                        cfg.render.get(cap_key, 0 if kind == "tile" else 2 ** 21)
+                        or (inst_cap if kind == "tile" else 2 ** 21)
                     )
                     print(
-                        f"[overflow] {kind}_capacity={cap} exceeded in "
+                        f"[overflow] {cap_key}={cap} exceeded in "
                         f"{hits}/10 recent samples (last drop: {dropped:.0f} "
                         "instances) — rendered pixels are missing occluded "
                         "contributors",
                         flush=True,
                     )
-                    if (
+                    new_cap = cap * 2
+                    if kind == "tile" and new_cap >= inst_cap:
+                        new_cap = 0  # grown past binding: go uncapped
+                    ceiling = max_caps[kind]
+                    can_grow = (
                         auto_grow
                         and grow_budget[kind] > 0
-                        and cap * 2 <= max_caps[kind]
-                    ):
+                        and (ceiling is None or cap * 2 <= ceiling)
+                    )
+                    if can_grow:
                         grow_budget[kind] -= 1
-                        cfg.render[cap_key] = cap * 2
+                        cfg.render[cap_key] = new_cap
                         print(
-                            f"[overflow] growing {cap_key} -> {cap * 2} "
-                            "(recompiling train step)",
+                            f"[overflow] growing {cap_key} -> "
+                            f"{new_cap or 'uncapped'} (recompiling train step)",
                             flush=True,
                         )
                         train_fns = build_train_steps()
@@ -607,6 +707,26 @@ def training(cfg: Config, progress: bool = True) -> Dict:
                             eval_obj_render = make_eval_render(
                                 cfg, scene, render_object_mask(scene.table)
                             )
+                    elif overflow_policy == "error":
+                        rec = {
+                            "iteration": iteration,
+                            "event": "capacity_overflow",
+                            "capacity": cap_key,
+                            "value": cap,
+                            "dropped": dropped,
+                        }
+                        log_f.write(json.dumps(rec) + "\n")
+                        log_f.flush()
+                        raise RuntimeError(
+                            f"{cap_key}={cap} persistently exceeded at "
+                            f"iteration {iteration} and growth is exhausted "
+                            f"(auto_grow={auto_grow}, remaining budget="
+                            f"{grow_budget[kind]}) — training would silently "
+                            f"drop instances. Raise render.{cap_key} or "
+                            f"render.grow_budget, or set "
+                            f"render.overflow_policy 'warn' to continue "
+                            f"anyway. Last checkpoint in {cfg.trained_model_dir}"
+                        )
         if progress and iteration % 100 == 0:
             dt = time.time() - t_start
             print(
@@ -675,19 +795,31 @@ def training(cfg: Config, progress: bool = True) -> Dict:
     final = {"ema_psnr": ema_psnr, "ema_loss": ema_loss}
     if scalars:
         final["num_alive"] = int(scalars["num_alive"])
+    # cross-process / cross-run divergence probe: identical data + seeds
+    # must give an identical final parameter state on every host
+    # (tests/test_multihost.py compares this across the 2 processes)
+    final["param_checksum"] = float(
+        jax.jit(
+            lambda p: sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(p))
+        )(state.params)
+    )
     return final
 
 
-def evaluate_psnr(cfg: Config, scene: Scene, state, eval_render, max_views: int = 8):
-    """In-training eval on held-out + a few train views
-    (ref: train.py:262-308 training_report)."""
+def evaluate_psnr(cfg: Config, scene: Scene, state, eval_render, max_views=None):
+    """In-training eval on ALL held-out views + a few train views
+    (ref: train.py:274-303 evaluates every test camera; the train split
+    is a small sample there too). `train.eval_max_views` caps the test
+    split for quick runs; default = all."""
     out = {}
+    if max_views is None:
+        max_views = cfg.train.get("eval_max_views", None)
     gt_cache = GTCache(cfg.data.get("white_background", False))
     for split, views in (("test", scene.test_views), ("train", scene.train_views[:5])):
         if not views:
             continue
         psnrs, l1s = [], []
-        for view in views[:max_views]:
+        for view in views if max_views is None else views[:max_views]:
             gt = gt_cache.get(view)
             r = eval_render(state.params, state.aux, view.frame_input)
             psnrs.append(float(L.psnr(r["rgb"], gt.image, gt.mask)))
