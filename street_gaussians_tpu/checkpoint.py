@@ -43,6 +43,20 @@ def search_max_iteration(folder: str) -> Optional[int]:
 def save_train_state(ckpt_dir: str, iteration: int, state) -> None:
     path = os.path.abspath(os.path.join(ckpt_dir, f"iteration_{iteration}"))
     os.makedirs(ckpt_dir, exist_ok=True)
+    if jax.process_count() > 1:
+        # single-writer save under jax.distributed: restrict orbax's
+        # barrier set to the calling process — the default barrier spans
+        # ALL processes and deadlocks when only the writer saves
+        # (runner.training gates this call on process_index() == 0)
+        ckptr = ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=0, active_processes={0}
+            ),
+        )
+        with ckptr:
+            ckptr.save(path, jax.device_get(state), force=True)
+        return
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, jax.device_get(state), force=True)
 

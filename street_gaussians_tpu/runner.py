@@ -146,6 +146,7 @@ def render_opts_from_cfg(cfg: Config, mode: str) -> RenderOptions:
         tile_capacity=tc,
         instance_capacity=ic,
         interpret=interpret,
+        sky_downsample=int(cfg.render.get("sky_downsample", 1) or 1),
     )
 
 
@@ -346,6 +347,15 @@ def training(cfg: Config, progress: bool = True) -> Dict:
             print(f"[warn] scene artifacts not written: {exc}")
     params = build_initial_params(cfg, scene)
     state = train_lib.init_train_state(params, scene.aux_init)
+    if jax.process_count() > 1:
+        # every host builds the scene from the same files, but threaded
+        # init steps (OpenMP kNN scale init) are not bit-deterministic
+        # across processes — measured ~1e-7 rel differences that seed
+        # permanent replica drift. One broadcast pins every host to
+        # process 0's initial state (tests/test_multihost.py).
+        from jax.experimental import multihost_utils
+
+        state = multihost_utils.broadcast_one_to_all(state)
 
     # camera-data-parallel over the device mesh when batch_size > 1
     # (no reference analog — strictly single-GPU there, SURVEY.md §2.6).
@@ -797,11 +807,15 @@ def training(cfg: Config, progress: bool = True) -> Dict:
         final["num_alive"] = int(scalars["num_alive"])
     # cross-process / cross-run divergence probe: identical data + seeds
     # must give an identical final parameter state on every host
-    # (tests/test_multihost.py compares this across the 2 processes)
+    # (tests/test_multihost.py compares this across the 2 processes).
+    # Host-side float64 numpy sum: a jitted f32 reduction's value depends
+    # on each process's codegen (summation order), which masked true
+    # equality with ~1e-4 noise
     final["param_checksum"] = float(
-        jax.jit(
-            lambda p: sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(p))
-        )(state.params)
+        sum(
+            np.abs(np.asarray(jax.device_get(x), np.float64)).sum()
+            for x in jax.tree.leaves(state.params)
+        )
     )
     return final
 
