@@ -113,3 +113,56 @@ def test_shipped_configs_load():
             assert cfg.data.split_test == 4, f
             assert cfg.data.cameras == [0], f
             assert cfg.optim.densify_until_iter == 15000, f
+
+
+def test_convert_cli_without_colmap(tmp_path, capsys):
+    """script/convert.py (generic COLMAP-from-images pipeline, ref:
+    script/convert.py:20-100): without the colmap binary it must exit 0
+    with a clear skip message, not crash; with images missing it names
+    the expected layout."""
+    import importlib.util
+    import os
+    import shutil
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_cli",
+        os.path.join(os.path.dirname(__file__), "..", "script", "convert.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    if shutil.which("colmap") is None:
+        rc = mod.main(["-s", str(tmp_path)])
+        assert rc == 0
+        assert "colmap binary not found" in capsys.readouterr().err
+    else:  # colmap present: a scene dir without input/ must fail clearly
+        import pytest
+
+        with pytest.raises(FileNotFoundError, match="input"):
+            mod.build_sparse_model(str(tmp_path))
+
+
+def test_convert_image_pyramids(tmp_path):
+    """The --resize pyramid builder (cv2-based, no ImageMagick dep)."""
+    import importlib.util
+    import os
+
+    import cv2
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_cli2",
+        os.path.join(os.path.dirname(__file__), "..", "script", "convert.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    img = (np.random.default_rng(0).random((64, 96, 3)) * 255).astype(np.uint8)
+    cv2.imwrite(str(img_dir / "a.png"), img)
+    mod.build_image_pyramids(str(tmp_path))
+    for f in (2, 4, 8):
+        small = cv2.imread(str(tmp_path / f"images_{f}" / "a.png"))
+        assert small.shape == (64 // f, 96 // f, 3)
