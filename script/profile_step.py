@@ -220,6 +220,36 @@ def main():
 
         timed("trimmed lidar-depth L1 fwd+bwd", f_trim, depth_map, iters=it)
 
+    if on("eval"):
+        # serving path: eval-mode forward with the fast-path knobs
+        eval_opts = dataclasses.replace(opts, mode="eval")
+
+        def f_eval(t, params):
+            return render_frame(
+                jitter_params(t, params), scene.aux, scene.table,
+                scene.pose_data, frame, step=step, opts=eval_opts,
+            )["rgb"]
+
+        timed("eval render fwd (sky ds=1)", f_eval, params, iters=it)
+
+        eval_ds2 = dataclasses.replace(eval_opts, sky_downsample=2)
+
+        def f_eval2(t, params):
+            return render_frame(
+                jitter_params(t, params), scene.aux, scene.table,
+                scene.pose_data, frame, step=step, opts=eval_ds2,
+            )["rgb"]
+
+        timed("eval render fwd (sky ds=2)", f_eval2, params, iters=it)
+
+        def f_sky_eval(t, params):
+            sky = dataclasses.replace(
+                params.sky, cubemap=params.sky.cubemap + t
+            )
+            return render_sky(sky, cam, downsample=2)
+
+        timed("sky fwd ds=2 (small grid)", f_sky_eval, params, iters=it)
+
     if on("opt"):
         from street_gaussians_tpu.optim.adam import adam_update
         from street_gaussians_tpu.train_lib import make_lr_tree

@@ -202,6 +202,14 @@ def default_config() -> Config:
                 # wave 4), so it is no longer the default.
                 "tile_capacity": 0,
                 "instance_capacity": 2097152,
+                # eval/serving: sample the sky on a 1/N ray grid and
+                # bilinear-upsample (1 = exact; train mode always exact).
+                # Parity bound for 2 measured in docs/perf_journal.md.
+                "sky_downsample": 1,
+                # serving: probe the scene's instance demand once and
+                # rebuild the render at a tight capacity (exact — the
+                # overflow guard re-renders any frame that exceeds it)
+                "auto_size_capacity": True,
                 # double the exceeded capacity when overflow persists
                 # (bounded recompiles; see runner.py overflow watchdog)
                 "auto_grow_capacity": True,

@@ -94,6 +94,11 @@ class RenderOptions:
     instance_capacity: int = 2 ** 21
     max_tiles_per_gaussian: Optional[int] = None
     interpret: bool = False  # Pallas interpreter mode (CPU tests)
+    # eval-only serving-path knob: sample the sky cubemap on a 1/N grid
+    # and bilinear-upsample (sky is smooth at >= 1 px/texel; parity
+    # bound measured in tests/test_fast_render.py + on TPU in
+    # docs/perf_journal.md). 1 = off; ignored in train mode.
+    sky_downsample: int = 1
 
 
 def compose_frame(
@@ -156,8 +161,9 @@ def compose_frame(
         obj_quat = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32), (M, 4))
         obj_trans = jnp.zeros((M, 3), jnp.float32)
 
-    row_quat = obj_quat[mid]  # [C, 4]
-    row_trans = obj_trans[mid]  # [C, 3]
+    mslices = tuple(tuple(int(v) for v in se) for se in table.slices)
+    row_quat = rows_from_models(obj_quat, mid, mslices)  # [C, 4]
+    row_trans = rows_from_models(obj_trans, mid, mslices)  # [C, 3]
 
     # --- symmetry flip augmentation (train only) ---
     xyz_local = g.xyz
@@ -280,6 +286,82 @@ def compose_frame(
         normals=normals,
         visible=visible,
     )
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def rows_from_models(per_model, mid, slices):
+    """per_model[mid] with a scatter-free VJP.
+
+    The plain gather's transpose is a scatter-add of [C, K] row
+    cotangents into M slots, which XLA:TPU serializes (traced at
+    ~5.8 ms per gather at 661k rows — fusion.26/24 in the round-3 bench
+    trace). The packed layout makes it free instead: model m owns the
+    STATIC contiguous row range slices[m], so d_per_model[m] is a plain
+    slice-sum (runs at memory bandwidth). Sharded rows (parallel/gauss.py
+    slices a 1/D block, so global slices don't align) fall back to a
+    one-hot MXU matmul — still ~7x faster than the scatter.
+
+    slices: static tuple of (start, end) per model (covering the rows).
+    """
+    return jnp.take(per_model, mid, axis=0)
+
+
+def _rfm_fwd(per_model, mid, slices):
+    return jnp.take(per_model, mid, axis=0), (mid, per_model.shape)
+
+
+def _rfm_bwd(slices, res, d_rows):
+    mid, pm_shape = res
+    total = slices[-1][1]
+    if d_rows.shape[0] == total and slices[0][0] == 0:
+        d_pm = jnp.stack(
+            [
+                jnp.sum(d_rows[s:e], axis=0, dtype=jnp.float32)
+                for s, e in slices
+            ]
+        )
+    else:
+        onehot = (
+            mid[:, None] == jnp.arange(pm_shape[0], dtype=mid.dtype)[None, :]
+        ).astype(d_rows.dtype)
+        d_pm = jax.lax.dot_general(
+            onehot,
+            d_rows,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return (d_pm, np.zeros(mid.shape, jax.dtypes.float0))
+
+
+rows_from_models.defvjp(_rfm_fwd, _rfm_bwd)
+
+
+def _upsample2x(img: jnp.ndarray) -> jnp.ndarray:
+    """[h, w, 3] -> [2h, 2w, 3] bilinear with half-pixel alignment:
+    out[2i] = 0.75 in[i] + 0.25 in[i-1], out[2i+1] = 0.75 in[i] +
+    0.25 in[i+1] (clamped edges) per axis — bit-matches
+    jax.image.resize('bilinear') at scale 2 but lowers to fused
+    elementwise ops instead of a general gather-based resize."""
+
+    def up(a, axis):
+        def sl(s):
+            idx = [slice(None)] * a.ndim
+            idx[axis] = s
+            return a[tuple(idx)]
+
+        prev = jnp.concatenate([sl(slice(0, 1)), sl(slice(0, -1))], axis=axis)
+        nxt = jnp.concatenate([sl(slice(1, None)), sl(slice(-1, None))], axis=axis)
+        even = 0.75 * a + 0.25 * prev
+        odd = 0.75 * a + 0.25 * nxt
+        out = jnp.stack([even, odd], axis=axis + 1)
+        shape = list(a.shape)
+        shape[axis] *= 2
+        return out.reshape(shape)
+
+    return up(up(img, 0), 1)
 
 
 def screen_space(
@@ -416,10 +498,23 @@ def render_frame(
                 )
                 - 0.5
             )
+        ds = opts.sky_downsample if opts.mode != "train" else 1
         sky_rgb = render_sky(
             params.sky, cam, jitter=jitter, interpret=opts.interpret,
             row_start=row_px0, num_rows=H_out if row_shard is not None else None,
+            downsample=ds,
         )
+        if ds == 2:
+            # exact half-pixel-aligned 2x bilinear (same values as
+            # jax.image.resize 'bilinear' at scale 2: weights 0.75/0.25)
+            # as pure elementwise ops XLA fuses into the composite
+            sky_rgb = _upsample2x(sky_rgb)[:H_out, : cam.W]
+        elif ds > 1:
+            sky_rgb = jax.image.resize(
+                sky_rgb,
+                (sky_rgb.shape[0] * ds, sky_rgb.shape[1] * ds, 3),
+                method="bilinear",
+            )[:H_out, : cam.W]
         out["rgb"] = out["rgb"] + sky_rgb * out["T"][..., None]
 
     # --- color correction (street_gaussian_renderer.py:113-114) ---

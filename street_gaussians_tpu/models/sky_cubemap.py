@@ -256,6 +256,7 @@ def render_sky(
     interpret: bool = False,
     row_start=None,
     num_rows: int | None = None,
+    downsample: int = 1,
 ) -> jnp.ndarray:
     """Per-pixel sky color [H, W, 3], clamped to [0, 1].
 
@@ -264,8 +265,15 @@ def render_sky(
     only sky-mask pixels at train time as a speed trick; on TPU the
     full-image gather is cheaper than a dynamic mask, and compositing
     multiplies by (1 - acc) anyway.
+    downsample: > 1 samples a 1/N ray grid and returns the SMALL image
+    [ceil(H/N), ceil(W/N), 3] — the caller bilinear-upsamples
+    (renderer.render_frame eval fast path; the per-row gather is
+    descriptor-rate-bound, so a 2x grid cut is ~4x fewer rows).
     """
-    dirs = camera_rays(cam, jitter=jitter, row_start=row_start, num_rows=num_rows)
+    dirs = camera_rays(
+        cam, jitter=jitter, row_start=row_start, num_rows=num_rows,
+        downsample=downsample,
+    )
     return jnp.clip(sample_cubemap(params.cubemap, dirs, interpret), 0.0, 1.0)
 
 

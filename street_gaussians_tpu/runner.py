@@ -858,7 +858,39 @@ def render_sets(cfg: Config, state=None, scene=None) -> Dict:
         state = restored
         print(f"[render] loaded iteration {it}")
 
+    # ---- serving-path capacity auto-sizing: the configured (training)
+    # instance_capacity is a worst-case bound; every binning sort/
+    # scatter/gather scales with it. Probe the scene's actual instance
+    # demand on one frame and rebuild at a tight 128-multiple with 25%
+    # headroom (one extra compile; measured -19 ms/frame at 1600 px).
+    # The overflow counter guards the shortcut: any frame that exceeds
+    # the tight capacity doubles it and re-renders that frame. ----
     eval_render = make_eval_render(cfg, scene)
+    if cfg.render.get("auto_size_capacity", True) and not cfg.render.get(
+        "parallel", ""
+    ):
+        # per-frame instance demand varies widely (measured 564k-1.2M
+        # across one 6-frame scene): probe up to 16 evenly-spaced views
+        # and size to the MAX demand + 30% headroom (a probe render costs
+        # one frame at the configured capacity; the regrow guard below
+        # covers anything the probe missed)
+        all_views = scene.test_views + scene.train_views
+        probes = all_views[:: max(1, len(all_views) // 16)][:16]
+        demand, ovf = 0, 0
+        for pv in probes:
+            r = eval_render(state.params, state.aux, pv.frame_input)
+            demand = max(demand, int(jax.device_get(r["num_instances"])))
+            ovf += int(jax.device_get(r["overflow"]))
+        if ovf == 0 and demand > 0:
+            tight = max((int(demand * 1.3) + 127) // 128 * 128, 1024)
+            if tight < int(cfg.render.get("instance_capacity", 2 ** 21)):
+                print(
+                    f"[render] auto-sizing instance_capacity "
+                    f"{cfg.render.get('instance_capacity')} -> {tight} "
+                    f"(max probe demand {demand} over {len(probes)} views)"
+                )
+                cfg.render.instance_capacity = tight
+                eval_render = make_eval_render(cfg, scene)
     times = []
     out = {}
     for split, views, skip in (
@@ -873,7 +905,29 @@ def render_sets(cfg: Config, state=None, scene=None) -> Dict:
             t0 = time.time()
             r = eval_render(state.params, state.aux, view.frame_input)
             jax.block_until_ready(r["rgb"])
-            if i > 0:  # exclude first (compile) frame like render.py:32-38
+            regrown = False
+            while float(jax.device_get(r.get("overflow", 0.0))) > 0:
+                # a frame denser than the probe: grow to its measured
+                # demand and re-render — capacity shortcuts must never
+                # drop contributors
+                cur = int(cfg.render.get("instance_capacity", 2 ** 21))
+                dropped = int(jax.device_get(r["overflow"]))
+                new_cap = max(
+                    (int((cur + dropped) * 1.3) + 127) // 128 * 128, cur * 2
+                )
+                print(
+                    f"[render] overflow at {view.image_name} "
+                    f"({dropped} dropped): instance_capacity {cur} -> "
+                    f"{new_cap}"
+                )
+                cfg.render.instance_capacity = new_cap
+                eval_render = make_eval_render(cfg, scene)
+                regrown = True
+                r = eval_render(state.params, state.aux, view.frame_input)
+                jax.block_until_ready(r["rgb"])
+            if i > 0 and not regrown:
+                # exclude the first frame (compile, render.py:32-38) and
+                # any frame whose re-render paid a recompile
                 times.append(time.time() - t0)
             if cfg.render.get("save_image", True):
                 img = np.clip(np.asarray(r["rgb"]) * 255, 0, 255).astype(np.uint8)

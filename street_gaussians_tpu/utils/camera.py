@@ -169,6 +169,7 @@ def camera_rays(
     jitter: Optional[jnp.ndarray] = None,
     row_start=None,
     num_rows: Optional[int] = None,
+    downsample: int = 1,
 ) -> jnp.ndarray:
     """Per-pixel unit ray directions in world frame, [H, W, 3].
 
@@ -177,9 +178,30 @@ def camera_rays(
     sky_cubemap.py:93-96 train-time jitter).
     row_start/num_rows: optional image-row band (row-sharded rendering,
     parallel/tiles.py) — rows [row_start, row_start + num_rows).
+    downsample: > 1 returns a [ceil(H/ds), ceil(W/ds), 3] ray grid whose
+    sample points sit at the CENTERS of ds x ds pixel groups (continuous
+    coord (j + 0.5) * ds), matching `jax.image.resize` bilinear
+    alignment — the eval-path half-res sky trick (renderer.render_frame).
     """
     H, W = (num_rows if num_rows is not None else cam.H), cam.W
     r0 = 0 if row_start is None else row_start
+    if downsample > 1:
+        ds = float(downsample)
+        Hs = -(-H // downsample)
+        Ws = -(-W // downsample)
+        xs = (jnp.arange(Ws, dtype=jnp.float32) + 0.5) * ds - 0.5
+        ys = (jnp.arange(Hs, dtype=jnp.float32) + 0.5) * ds - 0.5 + r0
+        x = xs[None, :].repeat(Hs, axis=0)
+        y = ys[:, None].repeat(Ws, axis=1)
+        if jitter is not None:
+            raise ValueError("jitter is a train-time feature; downsample is eval-only")
+        ones = jnp.ones_like(x)
+        pix = jnp.stack([x + 0.5, y + 0.5, ones], axis=-1)
+        Kinv = jnp.linalg.inv(cam.K)
+        dirs_cam = pix @ Kinv.T
+        c2w_rot = cam.w2c[:3, :3].T
+        dirs_world = dirs_cam @ c2w_rot.T
+        return dirs_world / jnp.linalg.norm(dirs_world, axis=-1, keepdims=True)
     x = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, axis=0)
     y = (jnp.arange(H, dtype=jnp.float32) + r0)[:, None].repeat(W, axis=1)
     if jitter is not None:
