@@ -61,7 +61,7 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def build_payload_blocks(src, inst_gauss, interpret=False):
     """Gather [N, C] payload rows into packed instance blocks
-    [num_blocks + 1, C, 128] (trash block last) with a SCATTER-FREE
+    [num_blocks + 1, C, CHUNK] (trash block last) with a SCATTER-FREE
     transpose.
 
     Forward: one consolidated row gather + block transpose. Backward:
@@ -74,12 +74,18 @@ def build_payload_blocks(src, inst_gauss, interpret=False):
     ops/segsum.py (~5 ms). Deterministic, scatter-free, ~25x the
     scatter-add's speed.
     """
+    from street_gaussians_tpu.ops.tile_raster2 import CHUNK as BLK
+
     valid = inst_gauss >= 0
     safe = jnp.maximum(inst_gauss, 0)
     gathered = jnp.where(valid[:, None], jnp.take(src, safe, axis=0), 0.0)
-    nb = gathered.shape[0] // 128
+    S = gathered.shape[0]
+    Sp = _round_up(S, BLK)
+    if Sp != S:  # capacity not a block multiple: pad with dead rows
+        gathered = jnp.pad(gathered, ((0, Sp - S), (0, 0)))
+    nb = Sp // BLK
     c_pad = src.shape[1]
-    payload = gathered.reshape(nb, 128, c_pad).transpose(0, 2, 1)
+    payload = gathered.reshape(nb, BLK, c_pad).transpose(0, 2, 1)
     return jnp.pad(payload, ((0, 1), (0, 0), (0, 0)))  # +1 trash block
 
 

@@ -45,13 +45,23 @@ from street_gaussians_tpu.ops.tile_raster import (
     ABS_ROWS,
     ALPHA_MAX,
     ALPHA_MIN,
-    CHUNK,
     PAYLOAD_HEADER,
     PIX,
     T_EPS,
     TILE,
     payload_rows,
 )
+
+# Instances per payload block / per kernel step. MEASURED OPTIMUM: 128.
+# 256 was tried to halve the ~0.6 us/step grid machinery (round 3) and
+# REGRESSED 6.10 -> 5.47 it/s: the lane prefix-sum is a [CHUNK, CHUNK]
+# triangular matmul per [PIX, CHUNK] block, so its MAC count scales
+# LINEARLY with CHUNK per instance (2x at 256), and the coarser block
+# granularity wastes more early-terminated lanes — both outgrow the
+# saved step overhead. Everything downstream is parametric in this
+# constant (build_payload_blocks pads capacity to a block multiple), so
+# re-tuning on future hardware is a one-line change.
+CHUNK = 128
 
 
 def _pixel_coords(tile_id, grid_x):

@@ -107,6 +107,7 @@ def test_payload_blocks_vjp_matches_naive(seed):
     build_payload_blocks must equal the naive gather's scatter-add VJP."""
     import jax
     from street_gaussians_tpu.ops.rasterize import build_payload_blocks
+    from street_gaussians_tpu.ops.tile_raster2 import CHUNK as BLK
 
     grid_x, grid_y = 5, 4
     screen = make_screen(200, grid_x, grid_y, seed=seed)
@@ -116,7 +117,7 @@ def test_payload_blocks_vjp_matches_naive(seed):
     src = jnp.asarray(rng.normal(size=(200, 16)).astype(np.float32))
     S_pad = bins.inst_gauss.shape[0]
     dloss_w = jnp.asarray(
-        rng.normal(size=(S_pad // 128 + 1, 16, 128)).astype(np.float32)
+        rng.normal(size=(-(-S_pad // BLK) + 1, 16, BLK)).astype(np.float32)
     )
 
     def loss_structured(src):
@@ -127,8 +128,10 @@ def test_payload_blocks_vjp_matches_naive(seed):
         valid = bins.inst_gauss >= 0
         safe = jnp.maximum(bins.inst_gauss, 0)
         g = jnp.where(valid[:, None], jnp.take(src, safe, axis=0), 0.0)
+        Sp = -(-g.shape[0] // BLK) * BLK
+        g = jnp.pad(g, ((0, Sp - g.shape[0]), (0, 0)))
         p = jnp.pad(
-            g.reshape(-1, 128, 16).transpose(0, 2, 1), ((0, 1), (0, 0), (0, 0))
+            g.reshape(-1, BLK, 16).transpose(0, 2, 1), ((0, 1), (0, 0), (0, 0))
         )
         return jnp.sum(p * dloss_w)
 
@@ -184,7 +187,7 @@ def test_flatten_steps_first_real_step_writes():
     # tiles 0..3 empty; tile 4 owns rows [0, 200); tile 5 rows [200, 230)
     tile_start = jnp.array([0, 0, 0, 0, 0, 200], jnp.int32)
     tile_count = jnp.array([0, 0, 0, 0, 200, 30], jnp.int32)
-    nb = (230 + 127) // 128  # 2 real blocks
+    nb = (230 + R2.CHUNK - 1) // R2.CHUNK  # real payload blocks
     ts, blks, ios, lasts, wfs = R2._flatten_steps(
         tile_start, tile_count, num_tiles, nb, nb
     )
