@@ -940,6 +940,30 @@ def render_sets(cfg: Config, state=None, scene=None) -> Dict:
         print(f"average rendering time: {mean_ms:.2f} ms ({1000.0/mean_ms:.2f} FPS)")
         out["render_ms"] = mean_ms
         out["fps"] = 1000.0 / mean_ms
+
+    # ---- pipelined THROUGHPUT (frames/s): the per-frame latency above
+    # blocks on every frame, paying one full host<->device round trip
+    # each (the reference's protocol, render.py:32-38, kept as `fps`).
+    # A serving pipeline keeps the device busy by dispatching ahead and
+    # fetching behind — same renders, chunked 8 deep. ----
+    tviews = [v for v in scene.test_views + scene.train_views][:64]
+    if len(tviews) >= 2:
+        eval_render(state.params, state.aux, tviews[0].frame_input)  # warm
+        depth = 8
+        t0 = time.time()
+        pending = []
+        for view in tviews:
+            pending.append(eval_render(state.params, state.aux, view.frame_input))
+            if len(pending) >= depth:
+                jax.block_until_ready(pending.pop(0)["rgb"])
+        for r in pending:
+            jax.block_until_ready(r["rgb"])
+        dt = time.time() - t0
+        out["fps_throughput"] = len(tviews) / dt
+        print(
+            f"pipelined throughput: {out['fps_throughput']:.2f} frames/s "
+            f"({len(tviews)} frames, dispatch depth {depth})"
+        )
     return out
 
 
