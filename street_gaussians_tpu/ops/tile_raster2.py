@@ -409,11 +409,11 @@ def _bwd_kernel(
 
 
 def _fwd_call(payload, tile_start, tile_count, num_features, grid_x, num_tiles,
-              tile_capacity, interpret):
+              tile_capacity, interpret, tables=None):
     nb_total, c_pad, _ = payload.shape  # includes the +1 trash block
     F = num_features
     trash = nb_total - 1
-    ts, blks, ios, lasts, wfs = _flatten_steps(
+    ts, blks, ios, lasts, wfs = tables if tables is not None else _flatten_steps(
         tile_start, tile_count, num_tiles, nb_total - 1, trash
     )
     MAXC = ts.shape[0]
@@ -453,11 +453,11 @@ def _fwd_call(payload, tile_start, tile_count, num_features, grid_x, num_tiles,
 
 
 def _bwd_call(payload, tile_start, tile_count, out_res, gout, num_features,
-              grid_x, num_tiles, tile_capacity, interpret):
+              grid_x, num_tiles, tile_capacity, interpret, tables=None):
     nb_total, c_pad, _ = payload.shape
     F = num_features
     trash = nb_total - 1
-    ts, blks, ios, lasts, wfs = _flatten_steps(
+    ts, blks, ios, lasts, wfs = tables if tables is not None else _flatten_steps(
         tile_start, tile_count, num_tiles, nb_total - 1, trash
     )
     MAXC = ts.shape[0]
@@ -521,18 +521,27 @@ def tile_blend_instances(
 
 def _fwd_rule(payload, tile_start, tile_count, num_features, grid_x, num_tiles,
               tile_capacity, interpret):
+    # the step tables are a pure function of (tile_start, tile_count):
+    # compute ONCE and thread them to the backward through the residuals
+    # (the expand scatters cost ~3.6 ms/step at bench scale; computing
+    # them twice was pure waste)
+    tables = _flatten_steps(
+        tile_start, tile_count, num_tiles, payload.shape[0] - 1,
+        payload.shape[0] - 1,
+    )
     out = _fwd_call(
         payload, tile_start, tile_count, num_features, grid_x, num_tiles,
-        tile_capacity, interpret,
+        tile_capacity, interpret, tables=tables,
     )
-    return out, (payload, tile_start, tile_count, out)
+    return out, (payload, tile_start, tile_count, out, tables)
 
 
 def _bwd_rule(num_features, grid_x, num_tiles, tile_capacity, interpret, res, gout):
-    payload, tile_start, tile_count, out = res
+    payload, tile_start, tile_count, out, tables = res
     d_payload = _bwd_call(
         payload, tile_start, tile_count, out, gout,
         num_features, grid_x, num_tiles, tile_capacity, interpret,
+        tables=tables,
     )
     return d_payload, None, None
 

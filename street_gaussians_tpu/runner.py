@@ -880,7 +880,9 @@ def render_sets(cfg: Config, state=None, scene=None) -> Dict:
         for pv in probes:
             r = eval_render(state.params, state.aux, pv.frame_input)
             demand = max(demand, int(jax.device_get(r["num_instances"])))
-            ovf += int(jax.device_get(r["overflow"]))
+            # instance overflow only: tile-cap drops are an explicit
+            # experiment knob and no instance capacity can remove them
+            ovf += int(jax.device_get(r["overflow_instance"]))
         if ovf == 0 and demand > 0:
             tight = max((int(demand * 1.3) + 127) // 128 * 128, 1024)
             if tight < int(cfg.render.get("instance_capacity", 2 ** 21)):
@@ -906,12 +908,18 @@ def render_sets(cfg: Config, state=None, scene=None) -> Dict:
             r = eval_render(state.params, state.aux, view.frame_input)
             jax.block_until_ready(r["rgb"])
             regrown = False
-            while float(jax.device_get(r.get("overflow", 0.0))) > 0:
+            # INSTANCE overflow only: the total counter includes
+            # tile-capacity drops, which growing instance_capacity can
+            # never remove — keying on it looped forever under a finite
+            # tile cap (one recompile per lap). Bounded regardless.
+            for _ in range(8):
+                if float(jax.device_get(r.get("overflow_instance", 0.0))) <= 0:
+                    break
                 # a frame denser than the probe: grow to its measured
                 # demand and re-render — capacity shortcuts must never
                 # drop contributors
                 cur = int(cfg.render.get("instance_capacity", 2 ** 21))
-                dropped = int(jax.device_get(r["overflow"]))
+                dropped = int(jax.device_get(r["overflow_instance"]))
                 new_cap = max(
                     (int((cur + dropped) * 1.3) + 127) // 128 * 128, cur * 2
                 )
