@@ -119,3 +119,34 @@ def test_gauss_sharding_composes_with_tile_sharding():
     np.testing.assert_allclose(
         np.asarray(sharded["acc"]), np.asarray(single["acc"]), atol=2e-5
     )
+
+
+def test_gauss_sharded_object_subset_render_matches_single():
+    """include_mask (per-MODEL [M], indexed through the local rows'
+    model_id — needs no slicing under sharding) must give the same
+    object-only render as the single-device path; this is the
+    render.parallel gauss=N + eval_obj_render combination the runner
+    wires for trajectory/object renders."""
+    from street_gaussians_tpu.models.renderer import render_object_mask
+
+    scene, params, opts = ge._toy_setup(num_actors=1)
+    frame = scene.frames[1]
+    obj_mask = render_object_mask(scene.table)
+
+    single = render_frame(
+        params, scene.aux, scene.table, scene.pose_data, frame,
+        step=jnp.asarray(10 ** 9), opts=opts, include_mask=obj_mask,
+    )
+
+    mesh = make_gauss_mesh(4)
+    render = make_gauss_sharded_render(
+        scene.table, scene.pose_data, opts, mesh, include_mask=obj_mask
+    )
+    sharded = render(params, scene.aux, frame)
+
+    np.testing.assert_allclose(
+        np.asarray(sharded["rgb"]), np.asarray(single["rgb"]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded["acc"]), np.asarray(single["acc"]), atol=2e-5
+    )
