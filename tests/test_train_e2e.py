@@ -303,7 +303,9 @@ def test_training_loop_gauss_sharded(tmp_path):
     cfg.optim.opacity_reset_interval = 10 ** 6
     cfg.train.iterations = 24
     cfg.train.gauss_shards = 2
-    cfg.train.test_iterations = []
+    # in-training eval runs the (replicated-assumption) eval render on
+    # the SHARDED params — GSPMD must handle the mixed shardings
+    cfg.train.test_iterations = [20]
     cfg.train.save_iterations = []
     cfg.train.checkpoint_iterations = [24]
     cfg.render.tile_capacity = 128
@@ -318,6 +320,8 @@ def test_training_loop_gauss_sharded(tmp_path):
     assert losses and all(np.isfinite(l) for l in losses)
     psnrs = [r["psnr"] for r in records if "psnr" in r]
     assert psnrs[-1] > psnrs[0]
+    # the eval at iteration 20 ran on the sharded state
+    assert any("train_psnr" in r for r in records)
     # checkpoint written from the sharded state
     assert os.path.isdir(os.path.join(cfg.trained_model_dir, "iteration_24"))
 
