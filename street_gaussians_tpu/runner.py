@@ -707,7 +707,9 @@ def training(cfg: Config, progress: bool = True) -> Dict:
                             flush=True,
                         )
                         train_fns = build_train_steps()
-                        step_fn = train_fns["step"]
+                        step_fn = train_fns.get("step")
+                        if use_gauss:
+                            gauss_step_fn = train_fns["gauss_step"]
                         if use_dp:
                             dp_step_fn = train_fns["dp_step"]
                         # evals must see the grown capacity too, or

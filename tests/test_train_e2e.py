@@ -362,3 +362,40 @@ def test_training_loop_gauss_sharded_with_dp_batch(tmp_path):
     records = [json.loads(l) for l in open(log_path)]
     losses = [r["loss"] for r in records if "loss" in r]
     assert losses and all(np.isfinite(l) for l in losses)
+
+
+def test_overflow_watchdog_grows_under_gauss_sharding(tmp_path):
+    """The watchdog's rebuild after a capacity bump must reconstruct the
+    GAUSS-SHARDED step (it indexed train_fns['step'], which doesn't
+    exist in gauss mode — caught by review, this is the regression
+    test): starved instance_capacity + gauss_shards=2 must grow and
+    finish."""
+    root = str(tmp_path / "seq")
+    write_synthetic_waymo(root, num_frames=4, cameras=(0,))
+
+    cfg = load_config()
+    cfg.source_path = root
+    cfg.model_path = str(tmp_path / "out")
+    cfg.trained_model_dir = os.path.join(cfg.model_path, "trained_model")
+    cfg.point_cloud_dir = os.path.join(cfg.model_path, "point_cloud")
+    cfg.record_dir = os.path.join(cfg.model_path, "record")
+    cfg.mode = "train"
+    cfg.data.type = "Waymo"
+    cfg.data.split_train = 1
+    cfg.data.split_test = -1
+    cfg.data.cameras = [0]
+    cfg.model.nsg.include_sky = False
+    cfg.optim.densify_until_iter = 0
+    cfg.optim.opacity_reset_interval = 10 ** 6
+    cfg.train.iterations = 110
+    cfg.train.gauss_shards = 2
+    cfg.train.test_iterations = []
+    cfg.train.save_iterations = []
+    cfg.train.checkpoint_iterations = []
+    cfg.render.tile_capacity = 128
+    cfg.render.instance_capacity = 256  # far below the ~440 real instances
+
+    from street_gaussians_tpu.runner import training
+
+    training(cfg, progress=False)
+    assert int(cfg.render.instance_capacity) > 256
