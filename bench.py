@@ -373,8 +373,15 @@ def run_mesh_bench(kind, n, cfg, scene, params, opts, H, W, iters, warmup):
         )
 
         C = scene.table.capacity
+        n_req = n
         while C % n:
             n -= 1
+        if n != n_req:
+            print(
+                f"[bench] gauss={n_req} requested, using {n}"
+                f" (capacity {C} not divisible by {n_req})",
+                file=sys.stderr,
+            )
         mesh = make_gauss_mesh(n)
         step_fn = make_gauss_sharded_train_step(
             cfg, scene.table, scene.pose_data, opts, mesh

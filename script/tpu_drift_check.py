@@ -88,7 +88,7 @@ def main() -> int:
     def make_fn(interpret):
         opts = RenderOptions(
             mode="eval",  # no RNG: identical math modulo kernel numerics
-            tile_capacity=0 or 2 ** 15,
+            tile_capacity=0,  # falsy = uncapped (normalized in render_frame)
             instance_capacity=2 ** 15,
             interpret=interpret,
         )

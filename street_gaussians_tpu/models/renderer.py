@@ -481,7 +481,11 @@ def render_frame(
         bg_color=bg,
         extra_features=extra_features,
         config=RasterizeConfig(
-            tile_capacity=opts.tile_capacity,
+            # falsy tile_capacity = uncapped (same convention the config
+            # path normalizes in runner.render_opts_from_cfg; without
+            # this a direct RenderOptions(tile_capacity=0) user would
+            # hit binning's `rank < 0` mask and get a blank render)
+            tile_capacity=opts.tile_capacity or opts.instance_capacity,
             instance_capacity=opts.instance_capacity,
             interpret=opts.interpret,
         ),

@@ -140,7 +140,9 @@ def make_gauss_sharded_render(
                     out[k] = gather_rows(out[k])
             out["radii"] = jax.lax.pmax(out["radii"], tile_axis)
             out["visibility"] = out["radii"] > 0
-            out["overflow"] = jax.lax.psum(out["overflow"], tile_axis)
+            for k in ("overflow", "overflow_instance", "overflow_tile"):
+                if k in out:
+                    out[k] = jax.lax.psum(out[k], tile_axis)
             out["num_instances"] = jax.lax.psum(out["num_instances"], tile_axis)
         return out
 

@@ -99,7 +99,13 @@ def make_row_sharded_render(
         # per-gaussian quantities: band-local -> global
         res["radii"] = jax.lax.pmax(out["radii"], axis)
         res["visibility"] = res["radii"] > 0
-        res["overflow"] = jax.lax.psum(out["overflow"], axis)
+        # all three counters must survive the shard boundary: the serving
+        # regrow guard (runner.render_sets) keys on overflow_instance, and
+        # tile-sharded bands divide instance_capacity by D — exactly the
+        # mode where instance drops are most likely (ADVICE r3).
+        for k in ("overflow", "overflow_instance", "overflow_tile"):
+            if k in out:
+                res[k] = jax.lax.psum(out[k], axis)
         res["num_instances"] = jax.lax.psum(out["num_instances"], axis)
         return res
 

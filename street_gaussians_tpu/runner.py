@@ -558,8 +558,14 @@ def training(cfg: Config, progress: bool = True) -> Dict:
     budget0 = int(cfg.render.get("grow_budget", 3))
     grow_budget = {"tile": budget0, "instance": budget0}
     # a tile cap may grow until it stops binding (= instance capacity);
-    # growing past that point means "uncapped" (tile_capacity 0)
-    max_caps = {"tile": None, "instance": 2 ** 23}
+    # growing past that point means "uncapped" (tile_capacity 0).
+    # The instance ceiling is cfg-exposed (configs/README.md): with
+    # doubling growth the watchdog reaches it in <= grow_budget steps,
+    # so the ceiling bounds both recompiles AND peak HBM.
+    max_caps = {
+        "tile": None,
+        "instance": int(cfg.render.get("max_instance_capacity", 2 ** 23)),
+    }
     overflow_policy = str(cfg.render.get("overflow_policy", "error"))
     viewer = (
         ViewerBridge(cfg, scene) if cfg.get("viewer", {}).get("enabled") else None
@@ -733,9 +739,11 @@ def training(cfg: Config, progress: bool = True) -> Dict:
                             f"{cap_key}={cap} persistently exceeded at "
                             f"iteration {iteration} and growth is exhausted "
                             f"(auto_grow={auto_grow}, remaining budget="
-                            f"{grow_budget[kind]}) — training would silently "
-                            f"drop instances. Raise render.{cap_key} or "
-                            f"render.grow_budget, or set "
+                            f"{grow_budget[kind]}, ceiling={ceiling}) — "
+                            f"training would silently "
+                            f"drop instances. Raise render.{cap_key}, "
+                            f"render.grow_budget or "
+                            f"render.max_instance_capacity, or set "
                             f"render.overflow_policy 'warn' to continue "
                             f"anyway. Last checkpoint in {cfg.trained_model_dir}"
                         )

@@ -44,6 +44,11 @@ def test_row_sharded_render_matches_single(n_shards):
     np.testing.assert_allclose(
         np.asarray(sharded["radii"]), np.asarray(single["radii"]), atol=1e-4
     )
+    # the per-kind overflow counters must survive the shard boundary —
+    # the serving regrow guard keys on overflow_instance (ADVICE r3)
+    for k in ("overflow", "overflow_instance", "overflow_tile"):
+        assert k in sharded, f"{k} missing from row-sharded output"
+        assert float(sharded[k]) == 0.0
 
 
 def test_row_sharded_gradients_match_single():
