@@ -429,6 +429,7 @@ def render_frame(
     absgrad_dummy: Optional[jnp.ndarray] = None,
     row_shard=None,
     screen_composed=None,
+    sky_jitter: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Full render of one camera -> dict rgb/acc/depth/T/semantic/radii...
 
@@ -438,6 +439,11 @@ def render_frame(
     street_gaussian_renderer.py:163-171).
     absgrad_dummy: optional [C, 2] zeros; its gradient carries the
     per-pixel-abs viewspace gradients (AbsGS, backward.cu:624-628).
+    sky_jitter: optional [H_out, W, 2] train-time sub-pixel sky ray
+    offsets supplied by the caller instead of drawn here — the
+    tile-sharded TRAIN step (parallel/tiles.py) draws the full-image
+    jitter once and slices each device's band so the sharded step's
+    random draws match the single-device step bit-for-bit.
     """
     cam = frame_inp.cam
     if screen_composed is not None:
@@ -494,8 +500,8 @@ def render_frame(
 
     # --- sky compositing (street_gaussian_renderer.py:107-111) ---
     if compose_sky and params.sky is not None:
-        jitter = None
-        if opts.mode == "train" and key is not None:
+        jitter = sky_jitter
+        if jitter is None and opts.mode == "train" and key is not None:
             jitter = (
                 jax.random.uniform(
                     jax.random.fold_in(key, 1), (H_out, cam.W, 2)
