@@ -40,7 +40,7 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mesh", default=None, help="data=N or tile=N")
+    ap.add_argument("--mesh", default=None, help="data=N, tile=N, tiletrain=N, or gauss=N")
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument(
         "--trace",
@@ -361,6 +361,57 @@ def run_mesh_bench(kind, n, cfg, scene, params, opts, H, W, iters, warmup):
                 }
             )
         )
+    elif kind == "tiletrain":
+        # tile-sharded TRAINING: the full train step with binning + blend
+        # fwd/bwd split over N tile-row bands (parallel/tiles.py
+        # make_tile_sharded_train_step) — the per-iteration-LATENCY
+        # scaling mode; it/s here divides one step's wall-clock by ~N
+        # (Amdahl limit from the replicated per-gaussian stages,
+        # BASELINE.md §scaling)
+        from street_gaussians_tpu.parallel.tiles import (
+            make_tile_mesh,
+            make_tile_sharded_train_step,
+        )
+
+        mesh = make_tile_mesh(n)
+        step_fn = make_tile_sharded_train_step(
+            cfg, scene.table, scene.pose_data, opts, mesh
+        )
+        state = train_lib.init_train_state(params, scene.aux)
+        key = jax.random.PRNGKey(0)
+        scalars = {}
+        for _ in range(warmup):
+            key, sub = jax.random.split(key)
+            state, scalars = step_fn(state, frame, gt1, sub)
+        float(jnp.sum(state.params.gaussians.xyz[:1]))
+        t0 = time.time()
+        for _ in range(iters):
+            key, sub = jax.random.split(key)
+            state, scalars = step_fn(state, frame, gt1, sub)
+        float(jnp.sum(state.params.gaussians.xyz[:1]))
+        dt = time.time() - t0
+        ovf = float(scalars.get("overflow", 0.0))
+        if ovf > 0:
+            print(
+                f"[bench] WARNING: {ovf:.0f} instances dropped by capacity "
+                f"— it/s is NOT comparable",
+                file=sys.stderr,
+            )
+        its = iters / dt
+        print(
+            f"[bench] tile-sharded train tiletrain={n}: {its:.2f} it/s",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": f"train_iters_per_sec_tileshard{n}_1600px",
+                    "value": round(its, 3),
+                    "unit": "iters/s",
+                    "vs_baseline": round(its / A100_ITERS_PER_SEC_PROVISIONAL, 3),
+                }
+            )
+        )
     elif kind == "gauss":
         # Gaussian-sharded TRAINING: params + Adam rows split over N
         # chips (parallel/gauss.py make_gauss_sharded_train_step) — the
@@ -430,7 +481,8 @@ def run_mesh_bench(kind, n, cfg, scene, params, opts, H, W, iters, warmup):
         )
     else:
         raise SystemExit(
-            f"unknown mesh kind {kind!r} (use data=N, tile=N, or gauss=N)"
+            f"unknown mesh kind {kind!r} "
+            f"(use data=N, tile=N, tiletrain=N, or gauss=N)"
         )
 
 

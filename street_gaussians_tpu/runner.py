@@ -374,6 +374,33 @@ def training(cfg: Config, progress: bool = True) -> Dict:
     # 2D mesh.
     gauss_shards = int(cfg.train.get("gauss_shards", 0) or 0)
     use_gauss = gauss_shards > 1
+    # Tile-sharded training (train.tile_shards = N): every train render's
+    # binning + blend fwd/bwd split over N tile-row bands — the
+    # per-iteration-LATENCY scaling axis (parallel/tiles.py; DP scales
+    # cameras/sec, gauss scales HBM, tile scales one step's wall-clock).
+    # Composes with batch_size > 1 on a ('data','tile') 2D mesh.
+    tile_shards = int(cfg.train.get("tile_shards", 0) or 0)
+    use_tile = tile_shards > 1
+    if use_tile:
+        if use_gauss:
+            raise NotImplementedError(
+                "train.tile_shards and train.gauss_shards cannot be "
+                "combined yet — pick the axis that binds (latency: tile, "
+                "HBM: gauss)"
+            )
+        if multihost and n_proc > 1:
+            raise NotImplementedError(
+                "train.tile_shards across processes is not wired — tile "
+                "bands exchange per-band images every step, which wants "
+                "ICI; use camera-DP (train.multihost) across hosts and "
+                "tile-sharding within one host"
+            )
+        need = tile_shards * (batch_size if batch_size > 1 else 1)
+        if need > len(jax.devices()):
+            raise RuntimeError(
+                f"train.tile_shards={tile_shards} x batch_size="
+                f"{batch_size} needs {need} devices, have {len(jax.devices())}"
+            )
     if use_gauss:
         if multihost and n_proc > 1:
             raise NotImplementedError(
@@ -392,7 +419,12 @@ def training(cfg: Config, progress: bool = True) -> Dict:
                 f"scene capacity {scene.table.capacity} not divisible by "
                 f"gauss_shards={gauss_shards}"
             )
-    use_dp = (not use_gauss) and batch_size > 1 and len(jax.devices()) >= batch_size
+    use_dp = (
+        (not use_gauss)
+        and (not use_tile)
+        and batch_size > 1
+        and len(jax.devices()) >= batch_size
+    )
     if n_proc > 1 and not use_dp:
         # without the DP collectives every host would train its own
         # divergent model on a slice of the data and all of them would
@@ -402,8 +434,29 @@ def training(cfg: Config, progress: bool = True) -> Dict:
             f"batch_size >= {n_proc} (got {batch_size}) so the data-"
             f"parallel step ties the hosts together"
         )
-    batched = use_dp or (use_gauss and batch_size > 1)
+    batched = use_dp or ((use_gauss or use_tile) and batch_size > 1)
     gmesh = None
+    tmesh = None
+    if use_tile:
+        from jax.sharding import Mesh as _Mesh
+
+        from street_gaussians_tpu.parallel.tiles import (
+            make_tile_mesh,
+            make_tile_sharded_train_step,
+        )
+
+        if batch_size > 1:
+            devs = np.array(jax.devices()[: batch_size * tile_shards])
+            tmesh = _Mesh(
+                devs.reshape(batch_size, tile_shards), ("data", "tile")
+            )
+            print(
+                f"[tile] sharded training: {tile_shards} tile bands x "
+                f"{batch_size} cameras (2D mesh)"
+            )
+        else:
+            tmesh = make_tile_mesh(tile_shards)
+            print(f"[tile] sharded training over {tile_shards} tile bands")
     if use_gauss:
         from jax.sharding import Mesh as _Mesh
 
@@ -484,6 +537,11 @@ def training(cfg: Config, progress: bool = True) -> Dict:
                 cfg, scene.table, scene.pose_data, opts, gmesh,
                 data_axis="data" if batch_size > 1 else None,
             )
+        elif use_tile:
+            fns["tile_step"] = make_tile_sharded_train_step(
+                cfg, scene.table, scene.pose_data, opts, tmesh,
+                data_axis="data" if batch_size > 1 else None,
+            )
         else:
             fns["step"] = train_lib.make_train_step(
                 cfg, scene.table, scene.pose_data, opts
@@ -498,6 +556,8 @@ def training(cfg: Config, progress: bool = True) -> Dict:
     step_fn = train_fns.get("step")
     if use_gauss:
         gauss_step_fn = train_fns["gauss_step"]
+    if use_tile:
+        tile_step_fn = train_fns["tile_step"]
     if use_dp:
         dp_step_fn = train_fns["dp_step"]
     densify_fn = train_lib.make_densify_fn(cfg, scene.table)
@@ -609,10 +669,14 @@ def training(cfg: Config, progress: bool = True) -> Dict:
             if use_dp:
                 frames_b, gts_b = globalize(frames_b), globalize(gts_b)
                 state, scalars = dp_step_fn(state, frames_b, gts_b, sub)
+            elif use_tile:
+                state, scalars = tile_step_fn(state, frames_b, gts_b, sub)
             else:
                 state, scalars = gauss_step_fn(state, frames_b, gts_b, sub)
         elif use_gauss:
             state, scalars = gauss_step_fn(state, view.frame_input, gt, sub)
+        elif use_tile:
+            state, scalars = tile_step_fn(state, view.frame_input, gt, sub)
         else:
             state, scalars = step_fn(state, view.frame_input, gt, sub)
 
@@ -716,6 +780,8 @@ def training(cfg: Config, progress: bool = True) -> Dict:
                         step_fn = train_fns.get("step")
                         if use_gauss:
                             gauss_step_fn = train_fns["gauss_step"]
+                        if use_tile:
+                            tile_step_fn = train_fns["tile_step"]
                         if use_dp:
                             dp_step_fn = train_fns["dp_step"]
                         # evals must see the grown capacity too, or
