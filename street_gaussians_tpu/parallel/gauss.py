@@ -217,10 +217,32 @@ def train_state_specs(state, axis: str = "gauss"):
 def shard_train_state(state, mesh: Mesh, axis: str = "gauss"):
     """Place a TrainState with the row leaves actually distributed over
     the mesh (use after init / restore / densify so the per-chip HBM
-    for a capacity-C scene is ~C/D)."""
+    for a capacity-C scene is ~C/D).
+
+    Works on multi-process meshes too (rows sharded ACROSS hosts — the
+    largest-scene story): a host-local/replicated leaf becomes a global
+    array via make_array_from_callback (every process holds the full
+    value after runner's broadcast-from-0, so each serves its own
+    shards); a leaf that is already a non-addressable global array
+    (densify output) is resharded with device_put."""
     specs = train_state_specs(state, axis)
     dev = lambda s: jax.sharding.NamedSharding(mesh, s)
-    return jax.tree.map(lambda x, s: jax.device_put(x, dev(s)), state, specs)
+    multiproc = jax.process_count() > 1 and len(
+        set(d.process_index for d in mesh.devices.flat)
+    ) > 1
+
+    def place(x, s):
+        sh = dev(s)
+        if multiproc and not (
+            isinstance(x, jax.Array) and not x.is_fully_addressable
+        ):
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(
+                arr.shape, sh, lambda idx: arr[idx]
+            )
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(place, state, specs)
 
 
 def _sharded_render(

@@ -403,11 +403,24 @@ def training(cfg: Config, progress: bool = True) -> Dict:
             )
     if use_gauss:
         if multihost and n_proc > 1:
-            raise NotImplementedError(
-                "train.gauss_shards with multiple processes is not wired "
-                "yet — use camera-DP (train.multihost) across hosts and "
-                "gauss-sharding within one host"
-            )
+            # cross-process gauss sharding (SURVEY §2.6 item (c) across
+            # hosts): batch_size == 1 shards the ROWS across processes
+            # (the scene-larger-than-one-host's-HBM story, all_gather of
+            # screen rows rides DCN); batch_size > 1 puts 'data' across
+            # processes and keeps each camera's gauss group inside one
+            # host (row exchange on ICI, gradient pmean on DCN)
+            if batch_size > 1:
+                if batch_size % n_proc != 0:
+                    raise RuntimeError(
+                        f"multi-host gauss x DP needs batch_size divisible "
+                        f"by process_count ({batch_size} % {n_proc})"
+                    )
+            elif gauss_shards % n_proc != 0:
+                raise RuntimeError(
+                    f"multi-host gauss_shards={gauss_shards} must be "
+                    f"divisible by process_count={n_proc} (every process "
+                    f"must hold row shards)"
+                )
         need = gauss_shards * (batch_size if batch_size > 1 else 1)
         if need > len(jax.devices()):
             raise RuntimeError(
@@ -425,10 +438,11 @@ def training(cfg: Config, progress: bool = True) -> Dict:
         and batch_size > 1
         and len(jax.devices()) >= batch_size
     )
-    if n_proc > 1 and not use_dp:
-        # without the DP collectives every host would train its own
-        # divergent model on a slice of the data and all of them would
-        # believe they are THE run
+    if n_proc > 1 and not use_dp and not use_gauss:
+        # without cross-process collectives every host would train its
+        # own divergent model on a slice of the data and all of them
+        # would believe they are THE run (gauss-sharded training ties
+        # hosts through its row collectives; DP through pmean)
         raise RuntimeError(
             f"train.multihost with {n_proc} processes requires "
             f"batch_size >= {n_proc} (got {batch_size}) so the data-"
@@ -466,14 +480,50 @@ def training(cfg: Config, progress: bool = True) -> Dict:
             shard_train_state,
         )
 
+        def _per_process_devices(per_proc: int):
+            """First `per_proc` devices OF EACH process, host-major — a
+            plain prefix would starve later hosts (parallel/dp.py
+            make_multihost_mesh rationale)."""
+            per, sel = {}, []
+            for d in jax.devices():
+                k = d.process_index
+                if per.get(k, 0) < per_proc:
+                    per[k] = per.get(k, 0) + 1
+                    sel.append(d)
+            return sel
+
         if batch_size > 1:
-            devs = np.array(jax.devices()[: batch_size * gauss_shards])
+            if multihost and n_proc > 1:
+                # host-major selection: each host contributes
+                # (batch/n_proc) data rows x gauss_shards devices, so a
+                # row's gauss group never spans hosts
+                per_proc = (batch_size // n_proc) * gauss_shards
+                local_n = sum(
+                    1 for d in jax.devices()
+                    if d.process_index == jax.process_index()
+                )
+                if per_proc > local_n:
+                    raise RuntimeError(
+                        f"multi-host gauss x DP needs {per_proc} devices "
+                        f"per process, have {local_n}"
+                    )
+                devs = np.array(_per_process_devices(per_proc))
+            else:
+                devs = np.array(jax.devices()[: batch_size * gauss_shards])
             gmesh = _Mesh(
                 devs.reshape(batch_size, gauss_shards), ("data", "gauss")
             )
             print(
                 f"[gauss] sharded training: {gauss_shards} row shards x "
-                f"{batch_size} cameras (2D mesh)"
+                f"{batch_size} cameras (2D mesh"
+                + (f", {n_proc} processes)" if n_proc > 1 else ")")
+            )
+        elif multihost and n_proc > 1:
+            devs = np.array(_per_process_devices(gauss_shards // n_proc))
+            gmesh = _Mesh(devs, ("gauss",))
+            print(
+                f"[gauss] sharded training over {gauss_shards} row shards "
+                f"ACROSS {n_proc} processes (rows exchange over DCN)"
             )
         else:
             gmesh = make_gauss_mesh(gauss_shards)
@@ -510,6 +560,7 @@ def training(cfg: Config, progress: bool = True) -> Dict:
             mesh = make_mesh(batch_size)
             print(f"[dp] camera-data-parallel over {batch_size} devices")
 
+    def _make_globalize(batch_mesh):
         from jax.sharding import NamedSharding, PartitionSpec
 
         def globalize(tree):
@@ -520,11 +571,40 @@ def training(cfg: Config, progress: bool = True) -> Dict:
 
             def one(x):
                 sh = NamedSharding(
-                    mesh, PartitionSpec("data", *([None] * (x.ndim - 1)))
+                    batch_mesh, PartitionSpec("data", *([None] * (x.ndim - 1)))
                 )
                 return jax.make_array_from_process_local_data(sh, np.asarray(x))
 
             return jax.tree.map(one, tree)
+
+        return globalize
+
+    if use_dp:
+        globalize = _make_globalize(mesh)
+    elif use_gauss and multihost and n_proc > 1 and batch_size > 1:
+        globalize = _make_globalize(gmesh)
+
+    # cross-process-sharded states cannot be device_get directly
+    # (checkpoint save, PLY export, the final checksum): one jitted
+    # identity with replicated out-sharding all-gathers the rows onto
+    # every process. A COLLECTIVE — call from all processes, before any
+    # is_writer gate.
+    cross_proc_rows = use_gauss and n_proc > 1
+    if cross_proc_rows:
+        from jax.sharding import NamedSharding as _NS, PartitionSpec as _PS
+
+        _rep = _NS(gmesh, _PS())
+
+        def _gather_state(st):
+            def one(x):
+                if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                    return jax.jit(lambda a: a, out_shardings=_rep)(x)
+                return x
+
+            return jax.tree.map(one, st)
+    else:
+        def _gather_state(st):
+            return st
 
     def build_train_steps():
         """(Re)build the jitted train steps from cfg.render capacities —
@@ -634,7 +714,11 @@ def training(cfg: Config, progress: bool = True) -> Dict:
         if not view_stack:
             view_stack = list(scene.train_views)
             rng.shuffle(view_stack)
-            if n_proc > 1:
+            if n_proc > 1 and batched:
+                # batched multihost: disjoint per-host camera slices.
+                # (Cross-process gauss at batch 1 takes the other branch
+                # implicitly: identical seeds -> identical stacks, every
+                # host feeds the SAME camera each step.)
                 # disjoint per-host slices of the same shuffled epoch,
                 # padded to EQUAL length (wrapping) so every host
                 # refills at the same iteration and the identically-
@@ -672,6 +756,8 @@ def training(cfg: Config, progress: bool = True) -> Dict:
             elif use_tile:
                 state, scalars = tile_step_fn(state, frames_b, gts_b, sub)
             else:
+                if n_proc > 1:
+                    frames_b, gts_b = globalize(frames_b), globalize(gts_b)
                 state, scalars = gauss_step_fn(state, frames_b, gts_b, sub)
         elif use_gauss:
             state, scalars = gauss_step_fn(state, view.frame_input, gt, sub)
@@ -870,12 +956,20 @@ def training(cfg: Config, progress: bool = True) -> Dict:
             log_f.write(json.dumps({"iteration": iteration, **report}) + "\n")
             log_f.flush()
 
+        if (
+            iteration in cfg.train.save_iterations
+            or iteration in cfg.train.checkpoint_iterations
+        ):
+            # collective when rows span processes — run on ALL processes
+            # before the is_writer gates below
+            state_full = _gather_state(state)
         if iteration in cfg.train.save_iterations and is_writer:
             ckpt_lib.save_point_cloud(
-                cfg.point_cloud_dir, iteration, state.params.gaussians, state.aux, scene.table
+                cfg.point_cloud_dir, iteration, state_full.params.gaussians,
+                state_full.aux, scene.table,
             )
         if iteration in cfg.train.checkpoint_iterations and is_writer:
-            ckpt_lib.save_train_state(cfg.trained_model_dir, iteration, state)
+            ckpt_lib.save_train_state(cfg.trained_model_dir, iteration, state_full)
 
     log_f.close()
     final = {"ema_psnr": ema_psnr, "ema_loss": ema_loss}
@@ -890,7 +984,7 @@ def training(cfg: Config, progress: bool = True) -> Dict:
     final["param_checksum"] = float(
         sum(
             np.abs(np.asarray(jax.device_get(x), np.float64)).sum()
-            for x in jax.tree.leaves(state.params)
+            for x in jax.tree.leaves(_gather_state(state).params)
         )
     )
     return final

@@ -24,6 +24,21 @@ def main():
     # nondeterminism that would read as replica divergence here
     os.environ["TF_ENABLE_ONEDNN_OPTS"] = "0"
 
+    # knobs for the test variants (env so the base argv stays stable):
+    # MH_LOCAL_DEVICES: virtual CPU devices per process (the real host
+    #   topology is hosts x local chips; default 1)
+    # MH_GAUSS_SHARDS: train.gauss_shards (rows sharded across processes
+    #   when batch == 1, in-host when batch > 1)
+    # MH_BATCH: global camera batch (default nproc; 1 => gauss-only)
+    local_devices = int(os.environ.get("MH_LOCAL_DEVICES", "1"))
+    gauss_shards = int(os.environ.get("MH_GAUSS_SHARDS", "0"))
+    batch = int(os.environ.get("MH_BATCH", str(nproc)))
+    if local_devices > 1:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={local_devices}"
+        )
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -37,7 +52,7 @@ def main():
         coordinator_address=coord, num_processes=nproc, process_id=pid
     )
     assert jax.process_count() == nproc
-    assert len(jax.devices()) == nproc  # 1 CPU device per process
+    assert len(jax.devices()) == nproc * local_devices
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from street_gaussians_tpu.config import load_config
@@ -64,8 +79,10 @@ def main():
     cfg.optim.densify_until_iter = 0
     cfg.optim.opacity_reset_interval = 10 ** 6
     cfg.train.iterations = 12
-    cfg.train.batch_size = nproc  # GLOBAL batch: 1 camera per process
+    cfg.train.batch_size = batch  # GLOBAL batch
     cfg.train.multihost = True
+    if gauss_shards:
+        cfg.train.gauss_shards = gauss_shards
     cfg.train.test_iterations = []
     cfg.train.save_iterations = []
     cfg.train.checkpoint_iterations = [12]

@@ -1,12 +1,21 @@
-"""REAL two-process multi-host training (VERDICT r2 item 5): two
-`jax.distributed` CPU processes (localhost coordinator, Gloo
-collectives) run `training()` with train.multihost True / global
-batch_size 2 on a shared synthetic scene. This exercises everything the
-single-process suite cannot reach: `jax.distributed.initialize`
-ordering, `make_array_from_process_local_data` globalization
-(runner.globalize), the lockstep epoch shuffle with per-host disjoint
-slices, cross-process gradient pmean over the global mesh, and the
-single-writer artifact discipline (runner.training is_writer gates).
+"""REAL multi-process multi-host training: two `jax.distributed` CPU
+processes (localhost coordinator, Gloo collectives) run `training()` on
+a shared synthetic scene. This exercises everything the single-process
+suite cannot reach: `jax.distributed.initialize` ordering,
+`make_array_from_process_local_data` globalization (runner.globalize),
+the lockstep epoch shuffle with per-host disjoint slices, cross-process
+gradient pmean over the global mesh, and the single-writer artifact
+discipline (runner.training is_writer gates).
+
+Variants (worker knobs via MH_* env, tests/multihost_worker.py):
+- camera-DP, 1 device/process (the round-3 baseline test)
+- camera-DP with MULTIPLE local devices per process — the real DCN
+  topology (hosts x local chips), exercising globalization with
+  several addressable shards per process
+- gauss-sharded rows ACROSS processes (batch 1) — the
+  scene-larger-than-one-host's-HBM story, incl. the collective
+  state gather before the single-writer checkpoint
+- gauss-sharding in-host composed with camera-DP across hosts (2D mesh)
 
 No reference analog — the reference is strictly single-process
 (lib/utils/cfg_utils.py:9-11); this is BASELINE.md's 2-host scaling
@@ -19,6 +28,7 @@ import socket
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 from street_gaussians_tpu.data.synthetic_waymo import write_synthetic_waymo
@@ -32,7 +42,9 @@ def _free_port():
     return port
 
 
-def test_two_process_multihost_training(tmp_path):
+def _run_workers(tmp_path, extra_env=None, nproc=2, timeout=850):
+    """Write the shared scene, launch nproc jax.distributed workers, and
+    return their result dicts (asserting clean exits)."""
     root = str(tmp_path / "seq")
     # the workers patch the sensor sizes themselves (they cannot see
     # this process's monkeypatching)
@@ -49,43 +61,85 @@ def test_two_process_multihost_training(tmp_path):
     os.makedirs(out_root, exist_ok=True)
     coord = f"127.0.0.1:{_free_port()}"
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
-    results = [os.path.join(out_root, f"result_{p}.json") for p in (0, 1)]
+    results = [
+        os.path.join(out_root, f"result_{p}.json") for p in range(nproc)
+    ]
 
     env = dict(os.environ)
-    # workers must see ONE local CPU device each (the parent conftest's
-    # 8-device XLA_FLAGS would give 16 global devices and change the
-    # mesh shape)
+    # workers set their own XLA_FLAGS (MH_LOCAL_DEVICES); the parent
+    # conftest's 8-device flag must not leak in
     env["XLA_FLAGS"] = ""
     env.pop("JAX_PLATFORMS", None)
+    env.update(extra_env or {})
 
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(p), "2", coord, root, out_root,
-             results[p]],
+            [sys.executable, worker, str(p), str(nproc), coord, root,
+             out_root, results[p]],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             env=env,
             cwd=os.path.join(os.path.dirname(__file__), ".."),
         )
-        for p in (0, 1)
+        for p in range(nproc)
     ]
-    outs = [p.communicate(timeout=850)[0].decode() for p in procs]
+    outs = [p.communicate(timeout=timeout)[0].decode() for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    return [json.load(open(r)) for r in results]
 
-    res = [json.load(open(r)) for r in results]
+
+def _assert_tied(res):
+    """Hosts ran in lockstep: identical final params, finite loss, and
+    only process 0 wrote artifacts."""
     assert res[0]["process_index"] == 0 and res[1]["process_index"] == 1
-
-    # identical final parameters on both hosts — the DP collectives tied
-    # them together (replicated params, pmean'd grads, lockstep shuffle)
     assert res[0]["param_checksum"] == res[1]["param_checksum"], (
         f"hosts diverged: {res[0]['param_checksum']} vs "
         f"{res[1]['param_checksum']}"
     )
-    import numpy as np
-
     assert np.isfinite(res[0]["ema_loss"])
-
-    # single-writer discipline: only process 0 wrote artifacts
     assert res[0]["wrote_log"] and res[0]["wrote_checkpoint"]
     assert not res[1]["wrote_log"] and not res[1]["wrote_checkpoint"]
+
+
+def test_two_process_multihost_training(tmp_path):
+    """Camera-DP over 2 processes x 1 device (the baseline variant)."""
+    _assert_tied(_run_workers(tmp_path))
+
+
+def test_multihost_multi_device_per_process(tmp_path):
+    """Camera-DP over 2 processes x 2 local devices each (global batch
+    4) — the real host topology: globalization must map each process's
+    2-camera local stack onto its 2 addressable mesh rows."""
+    _assert_tied(
+        _run_workers(
+            tmp_path, {"MH_LOCAL_DEVICES": "2", "MH_BATCH": "4"}
+        )
+    )
+
+
+def test_multihost_gauss_rows_across_processes(tmp_path):
+    """Gaussian-sharded training with the ROWS split across the two
+    processes (batch 1, ('gauss',) mesh over 2 hosts x 1 device): the
+    largest-scene story. Exercises the cross-process shard placement
+    (make_array_from_callback), the row all_gather over the process
+    boundary every step, and the collective state gather feeding the
+    single-writer checkpoint."""
+    _assert_tied(
+        _run_workers(
+            tmp_path, {"MH_GAUSS_SHARDS": "2", "MH_BATCH": "1"}
+        )
+    )
+
+
+def test_multihost_gauss_in_host_with_dp_across(tmp_path):
+    """2D ('data','gauss') spanning processes: data axis across the two
+    hosts (one camera each), each camera's 2 row shards inside its host
+    (2 local devices per process)."""
+    _assert_tied(
+        _run_workers(
+            tmp_path,
+            {"MH_LOCAL_DEVICES": "2", "MH_GAUSS_SHARDS": "2",
+             "MH_BATCH": "2"},
+        )
+    )
