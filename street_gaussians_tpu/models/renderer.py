@@ -430,6 +430,7 @@ def render_frame(
     row_shard=None,
     screen_composed=None,
     sky_jitter: Optional[jnp.ndarray] = None,
+    sky_table: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Full render of one camera -> dict rgb/acc/depth/T/semantic/radii...
 
@@ -444,6 +445,9 @@ def render_frame(
     tile-sharded TRAIN step (parallel/tiles.py) draws the full-image
     jitter once and slices each device's band so the sharded step's
     random draws match the single-device step bit-for-bit.
+    sky_table: optional precomputed `build_sky_table(params.sky.cubemap)`
+    — serving-only (parameters frozen, not differentiable): skips the
+    per-frame sky window-table build, bit-identical output.
     """
     cam = frame_inp.cam
     if screen_composed is not None:
@@ -512,7 +516,7 @@ def render_frame(
         sky_rgb = render_sky(
             params.sky, cam, jitter=jitter, interpret=opts.interpret,
             row_start=row_px0, num_rows=H_out if row_shard is not None else None,
-            downsample=ds,
+            downsample=ds, table=sky_table,
         )
         if ds == 2:
             # exact half-pixel-aligned 2x bilinear (same values as

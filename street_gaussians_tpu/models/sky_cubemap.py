@@ -32,6 +32,51 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _window_table(flat: jnp.ndarray, R: int) -> jnp.ndarray:
+    """[T, 3] texel table -> [ceil(T/10), 66] double-window row table.
+
+    Row r packs texels [10r, 10r+10] and [10r+R, 10r+R+10] (11+11 texels
+    interleaved rgb) so one row gather serves all 4 bilinear taps of any
+    pixel whose base texel falls in [10r, 10r+10). Depends only on the
+    cubemap parameters — at serving time (frozen params) build it ONCE
+    with `build_sky_table` and reuse across frames (the reference's
+    nvdiffrast samples the parameter texture directly and pays no
+    per-frame build at all, lib/models/sky_cubemap.py:99-119)."""
+    T = flat.shape[0]
+    nrows = -(-T // 10)
+    fv = flat.reshape(-1)  # [T*3]
+    fp = jnp.pad(fv, (0, nrows * 30 + 3 * R + 63 - fv.shape[0]))
+    w0 = fp[: nrows * 30].reshape(nrows, 30)
+    w0b = fp[30 : 30 + nrows * 30].reshape(nrows, 30)[:, :3]
+    w1 = fp[3 * R : 3 * R + nrows * 30].reshape(nrows, 30)
+    w1b = fp[3 * R + 30 : 3 * R + 30 + nrows * 30].reshape(nrows, 30)[:, :3]
+    return jnp.concatenate([w0, w0b, w1, w1b], axis=1)  # [T/10, 66]
+
+
+def _combine_taps(tbl: jnp.ndarray, base: jnp.ndarray, e4: jnp.ndarray) -> jnp.ndarray:
+    """Gather window rows by base//10 and contract the 4 tap weights:
+    multiply by a per-lane weight image carrying e4[p, t] exactly at tap
+    t's lane, then collapse lanes to rgb with a 0/1 [66, 3] matmul."""
+    bflat = base.reshape(-1)
+    rows = jnp.take(tbl, bflat // 10, axis=0)  # [P, 66]
+    j = (bflat % 10)[:, None]  # [P, 1]
+    ef = e4.reshape(-1, 4)
+    lane = np.arange(66)
+    kvec = jnp.asarray(np.where(lane < 33, lane // 3, (lane - 33) // 3))[None, :]
+    lo = jnp.asarray(lane < 33)[None, :]
+    w_hit = jnp.where(lo, ef[:, 0:1], ef[:, 2:3])
+    w_nxt = jnp.where(lo, ef[:, 1:2], ef[:, 3:4])
+    W66 = jnp.where(kvec == j, w_hit, 0.0) + jnp.where(kvec == j + 1, w_nxt, 0.0)
+    collapse = jnp.asarray((lane[:, None] % 3) == np.arange(3)[None, :], jnp.float32)
+    out = jax.lax.dot_general(
+        rows * W66,
+        collapse,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [P, 3]
+    return out.reshape(*base.shape, 3)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _bilinear_taps(flat, base, e4, R, interpret=False):
     """4-tap bilinear lookup of a [T, 3] table with a SCATTER-FREE
@@ -68,34 +113,7 @@ def _bilinear_taps(flat, base, e4, R, interpret=False):
     # lane axis with a 0/1 [66, 3] channel-collapse matrix on the MXU.
     # Out-of-face window values are dead: border folding gives any tap
     # that would cross a row/face boundary zero weight.
-    T = flat.shape[0]
-    nrows = -(-T // 10)
-    fv = flat.reshape(-1)  # [T*3]
-    fp = jnp.pad(fv, (0, nrows * 30 + 3 * R + 63 - fv.shape[0]))
-    w0 = fp[: nrows * 30].reshape(nrows, 30)
-    w0b = fp[30 : 30 + nrows * 30].reshape(nrows, 30)[:, :3]
-    w1 = fp[3 * R : 3 * R + nrows * 30].reshape(nrows, 30)
-    w1b = fp[3 * R + 30 : 3 * R + 30 + nrows * 30].reshape(nrows, 30)[:, :3]
-    tbl = jnp.concatenate([w0, w0b, w1, w1b], axis=1)  # [T/10, 66]
-
-    bflat = base.reshape(-1)
-    rows = jnp.take(tbl, bflat // 10, axis=0)  # [P, 66]
-    j = (bflat % 10)[:, None]  # [P, 1]
-    ef = e4.reshape(-1, 4)
-    lane = np.arange(66)
-    kvec = jnp.asarray(np.where(lane < 33, lane // 3, (lane - 33) // 3))[None, :]
-    lo = jnp.asarray(lane < 33)[None, :]
-    w_hit = jnp.where(lo, ef[:, 0:1], ef[:, 2:3])
-    w_nxt = jnp.where(lo, ef[:, 1:2], ef[:, 3:4])
-    W66 = jnp.where(kvec == j, w_hit, 0.0) + jnp.where(kvec == j + 1, w_nxt, 0.0)
-    collapse = jnp.asarray((lane[:, None] % 3) == np.arange(3)[None, :], jnp.float32)
-    out = jax.lax.dot_general(
-        rows * W66,
-        collapse,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [P, 3]
-    return out.reshape(*base.shape, 3)
+    return _combine_taps(_window_table(flat, R), base, e4)
 
 
 def _bt_fwd(flat, base, e4, R, interpret):
@@ -185,12 +203,27 @@ def init_sky(resolution: int = 1024, white_background: bool = True) -> SkyParams
     )
 
 
+def build_sky_table(cubemap: jnp.ndarray) -> jnp.ndarray:
+    """Precompute the serving-time window table for `sample_cubemap`'s
+    `table=` fast path. Depends only on the cubemap parameters: at
+    serving (frozen params) build once, sample every frame — removes the
+    per-frame table build + flatten (~11 ms/frame at R=1024 on v5e,
+    docs/perf_journal.md round 4). The cached path is BIT-IDENTICAL to
+    the default path (same `_combine_taps` on the same table values)."""
+    return _window_table(cubemap.reshape(-1, 3), cubemap.shape[1])
+
+
 def sample_cubemap(
-    cubemap: jnp.ndarray, dirs: jnp.ndarray, interpret: bool = False
+    cubemap: jnp.ndarray,
+    dirs: jnp.ndarray,
+    interpret: bool = False,
+    table: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Bilinear cube sampling. dirs [..., 3] (need not be normalized);
     returns [..., 3]. `interpret` runs the backward's segment-sum kernel
-    in Pallas interpreter mode (CPU tests)."""
+    in Pallas interpreter mode (CPU tests). `table`: optional precomputed
+    `build_sky_table(cubemap)` — serving-only (NOT differentiable w.r.t.
+    the cubemap), skips the per-frame table build."""
     R = cubemap.shape[1]
     x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
     ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
@@ -246,6 +279,8 @@ def sample_cubemap(
     e10 = (1 - degy) * (w10 + degx * w11)
     e11 = (1 - degx) * (1 - degy) * w11
     e4 = jnp.stack([e00, e01, e10, e11], axis=-1)
+    if table is not None:
+        return _combine_taps(table, base, e4)
     return _bilinear_taps(flat, base, e4, R, interpret)
 
 
@@ -257,6 +292,7 @@ def render_sky(
     row_start=None,
     num_rows: int | None = None,
     downsample: int = 1,
+    table: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Per-pixel sky color [H, W, 3], clamped to [0, 1].
 
@@ -274,7 +310,9 @@ def render_sky(
         cam, jitter=jitter, row_start=row_start, num_rows=num_rows,
         downsample=downsample,
     )
-    return jnp.clip(sample_cubemap(params.cubemap, dirs, interpret), 0.0, 1.0)
+    return jnp.clip(
+        sample_cubemap(params.cubemap, dirs, interpret, table=table), 0.0, 1.0
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -91,3 +91,45 @@ def test_sky_downsample_ignored_in_train_mode():
         key=jax.random.PRNGKey(0),
     )["rgb"]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)
+
+
+def test_sky_table_cache_bit_identical():
+    """Serving-path cached sky window table (build_sky_table) must be
+    BIT-identical to the default per-frame build — same _combine_taps on
+    the same table values, just hoisted out of the frame loop."""
+    from street_gaussians_tpu.models.sky_cubemap import build_sky_table
+
+    scene, params, opts = ge._toy_setup(num_actors=0, H=64, W=96)
+    params = dataclasses.replace(params, sky=_smooth_cubemap())
+    opts = dataclasses.replace(opts, mode="eval")
+    frame = scene.frames[1]
+
+    exact = render_frame(
+        params, scene.aux, scene.table, scene.pose_data, frame,
+        step=jnp.asarray(10 ** 9), opts=opts,
+    )["rgb"]
+    tbl = build_sky_table(params.sky.cubemap)
+    cached = render_frame(
+        params, scene.aux, scene.table, scene.pose_data, frame,
+        step=jnp.asarray(10 ** 9), opts=opts, sky_table=tbl,
+    )["rgb"]
+    np.testing.assert_array_equal(np.asarray(cached), np.asarray(exact))
+
+
+def test_sky_table_cache_composes_with_downsample():
+    from street_gaussians_tpu.models.sky_cubemap import build_sky_table
+
+    scene, params, opts = ge._toy_setup(num_actors=0, H=64, W=96)
+    params = dataclasses.replace(params, sky=_smooth_cubemap())
+    opts = dataclasses.replace(opts, mode="eval", sky_downsample=2)
+    frame = scene.frames[1]
+    plain = render_frame(
+        params, scene.aux, scene.table, scene.pose_data, frame,
+        step=jnp.asarray(10 ** 9), opts=opts,
+    )["rgb"]
+    tbl = build_sky_table(params.sky.cubemap)
+    cached = render_frame(
+        params, scene.aux, scene.table, scene.pose_data, frame,
+        step=jnp.asarray(10 ** 9), opts=opts, sky_table=tbl,
+    )["rgb"]
+    np.testing.assert_array_equal(np.asarray(cached), np.asarray(plain))
