@@ -202,6 +202,7 @@ def bin_gaussians_instances(
     grid_y: int,
     instance_capacity: int,
     tile_capacity: int,
+    interpret: bool | None = None,
 ) -> InstanceBinning:
     """Instance-major variant (tile_raster v2): one packed slot array,
     per-tile contiguous 128-aligned runs.
@@ -214,7 +215,12 @@ def bin_gaussians_instances(
     by depth bits then by tile id, the CUDA 64-bit
     [tile | float-bits(depth)] key in lax.sort form
     (ref: rasterizer_impl.cu:70-111, 303-311).
+
+    interpret: run the expansion kernel (ops/fill.py) in Pallas
+    interpreter mode; None = auto (CPU backend).
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     num_tiles = grid_x * grid_y
     n = screen.depth.shape[0]
     S = instance_capacity
@@ -264,29 +270,37 @@ def bin_gaussians_instances(
     offs = jnp.cumsum(cnt_s) - cnt_s
     total = offs[-1] + cnt_s[-1]
 
-    # ---- per-instance expansion: per-column delta scatters + cumsum.
-    # Gaussians with cnt == 0 share their successor's offset, so ALL
-    # deltas are scattered (colliding adds telescope to the value of the
-    # last gaussian sharing the position — the one that owns the slot);
-    # only positions beyond capacity are dropped. Column-wise 1-D
-    # scatters: row scatters (>= 2 lanes) take a ~13x slower XLA path.
-    pos = jnp.where(offs < S, offs, S)
+    # ---- per-instance expansion on the MXU (ops/fill.py): gaussian j's
+    # run is [offs[j], offs[j+1]) (zero-count gaussians give empty
+    # runs), so the expansion is a banded 0/1-select matmul. The prior
+    # per-column delta-scatter + cumsum was measured at ~1.2 ms PER
+    # CHANNEL at bench scale (the scatter engine serializes per position
+    # AND per operand array); the select matmul does all channels in one
+    # pass and is exact below 2^24 (single nonzero per slot column,
+    # HIGHEST precision). Slots >= total fill as 0 instead of the old
+    # fill-forward carry — every consumer masks them with `s < total`.
+    from street_gaussians_tpu.ops import fill as fill_lib
 
-    def expand_col(col):
-        prev = jnp.concatenate([jnp.zeros((1,), col.dtype), col[:-1]])
-        buf = jnp.zeros((S,), jnp.int32).at[pos].add(col - prev, mode="drop")
-        return jnp.cumsum(buf)
-
-    gauss_i = expand_col(oid_s)
+    chans = (
+        [oid_s, pr_s] if rect_cols_s is None else [oid_s, *rect_cols_s]
+    )
+    filled = fill_lib.expand_runs(
+        jnp.stack([c.astype(jnp.float32) for c in chans], axis=0),
+        offs,
+        total,
+        S,
+        interpret=interpret,
+    )
+    gauss_i = filled[0].astype(jnp.int32)
     if rect_cols_s is None:
-        pr = expand_col(pr_s)
+        pr = filled[1].astype(jnp.int32)
         rx = pr & 127
         ry = (pr >> 7) & 127
         rw = jnp.maximum(pr >> 14, 1)
     else:
-        rx = expand_col(rect_cols_s[0])
-        ry = expand_col(rect_cols_s[1])
-        rw = jnp.maximum(expand_col(rect_cols_s[2]), 1)
+        rx = filled[1].astype(jnp.int32)
+        ry = filled[2].astype(jnp.int32)
+        rw = jnp.maximum(filled[3].astype(jnp.int32), 1)
 
     s = jnp.arange(S, dtype=jnp.int32)
     inst_valid = s < total

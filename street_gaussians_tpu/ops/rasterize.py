@@ -189,7 +189,8 @@ def rasterize(
     if config.layout == "instance":
         # ---- instance-major payload (tile_raster2 DMA kernel) ----
         bins = binning_lib.bin_gaussians_instances(
-            screen, grid_x, grid_y, config.instance_capacity, config.tile_capacity
+            screen, grid_x, grid_y, config.instance_capacity,
+            config.tile_capacity, interpret=config.interpret,
         )
         # ONE consolidated [N, c_pad] source + one row gather: XLA lowers
         # separate per-channel gathers fused into the surrounding graph

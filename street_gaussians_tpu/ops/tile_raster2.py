@@ -168,9 +168,12 @@ def _tile_nblocks(tile_start, tile_count):
     )
 
 
-def _flatten_steps(tile_start, tile_count, num_tiles, num_blocks, trash):
+def _flatten_steps(tile_start, tile_count, num_tiles, num_blocks, trash,
+                   interpret=False):
     """Per-step tables for the flattened grid (all traced int32 [MAXC]):
     tile id, global payload-block index, block-in-tile, last-step flag."""
+    from street_gaussians_tpu.ops import fill as fill_lib
+
     MAXC = _max_steps(num_blocks, num_tiles)
     # empty tiles get ZERO steps (their output blocks are patched by a
     # fused where after the call)
@@ -178,20 +181,38 @@ def _flatten_steps(tile_start, tile_count, num_tiles, num_blocks, trash):
     starts = jnp.cumsum(nblocks_t) - nblocks_t
     step = jnp.arange(MAXC, dtype=jnp.int32)
 
-    def expand(vals):
-        prev = jnp.concatenate([jnp.zeros((1,), vals.dtype), vals[:-1]])
-        buf = (
-            jnp.zeros((MAXC,), vals.dtype)
-            .at[starts]
-            .add(vals - prev, mode="drop")
-        )
-        return jnp.cumsum(buf)
-
-    tile_of_step = expand(jnp.arange(num_tiles, dtype=jnp.int32))
-    start_of_step = expand(starts.astype(jnp.int32))
+    # expansion via the MXU select kernel (one pass for all 4 channels;
+    # the per-channel scatter+cumsum chain cost ~7 ms/iter at bench
+    # scale). Steps beyond the live range must carry the LAST tile's
+    # values — a tail step targets tile_of_step[s] as its output block,
+    # and an output block must never be left and revisited (Pallas
+    # would flush the stale VMEM buffer over it) — so the kernel's
+    # zero-fill is overridden with the old fill-forward's carry values.
+    b0_t = (tile_start // CHUNK).astype(jnp.int32)
+    chans = jnp.stack(
+        [
+            jnp.arange(num_tiles, dtype=jnp.int32).astype(jnp.float32),
+            starts.astype(jnp.float32),
+            nblocks_t.astype(jnp.float32),
+            b0_t.astype(jnp.float32),
+        ],
+        axis=0,
+    )
+    total_steps = starts[-1] + nblocks_t[-1]
+    filled = fill_lib.expand_runs(
+        chans, starts.astype(jnp.int32), total_steps, MAXC,
+        interpret=interpret,
+    )
+    live = step < total_steps
+    tile_of_step = jnp.where(
+        live, filled[0].astype(jnp.int32), num_tiles - 1
+    )
+    start_of_step = jnp.where(live, filled[1].astype(jnp.int32), starts[-1])
     i_of_step = step - start_of_step
-    nblocks_of_step = expand(nblocks_t.astype(jnp.int32))
-    b0_of_step = expand((tile_start // CHUNK).astype(jnp.int32))
+    nblocks_of_step = jnp.where(
+        live, filled[2].astype(jnp.int32), nblocks_t[-1]
+    )
+    b0_of_step = jnp.where(live, filled[3].astype(jnp.int32), b0_t[-1])
     # block ids are globally NON-DECREASING across real steps (runs are
     # contiguous); empty/tail steps carry the previous real block so an
     # output block is never left and revisited (Pallas would not refetch
@@ -414,7 +435,8 @@ def _fwd_call(payload, tile_start, tile_count, num_features, grid_x, num_tiles,
     F = num_features
     trash = nb_total - 1
     ts, blks, ios, lasts, wfs = tables if tables is not None else _flatten_steps(
-        tile_start, tile_count, num_tiles, nb_total - 1, trash
+        tile_start, tile_count, num_tiles, nb_total - 1, trash,
+        interpret=interpret,
     )
     MAXC = ts.shape[0]
     kernel = functools.partial(_fwd_kernel, num_features=F, grid_x=grid_x)
@@ -458,7 +480,8 @@ def _bwd_call(payload, tile_start, tile_count, out_res, gout, num_features,
     F = num_features
     trash = nb_total - 1
     ts, blks, ios, lasts, wfs = tables if tables is not None else _flatten_steps(
-        tile_start, tile_count, num_tiles, nb_total - 1, trash
+        tile_start, tile_count, num_tiles, nb_total - 1, trash,
+        interpret=interpret,
     )
     MAXC = ts.shape[0]
     kernel = functools.partial(_bwd_kernel, num_features=F, grid_x=grid_x)
@@ -527,7 +550,7 @@ def _fwd_rule(payload, tile_start, tile_count, num_features, grid_x, num_tiles,
     # them twice was pure waste)
     tables = _flatten_steps(
         tile_start, tile_count, num_tiles, payload.shape[0] - 1,
-        payload.shape[0] - 1,
+        payload.shape[0] - 1, interpret=interpret,
     )
     out = _fwd_call(
         payload, tile_start, tile_count, num_features, grid_x, num_tiles,

@@ -189,7 +189,7 @@ def test_flatten_steps_first_real_step_writes():
     tile_count = jnp.array([0, 0, 0, 0, 200, 30], jnp.int32)
     nb = (230 + R2.CHUNK - 1) // R2.CHUNK  # real payload blocks
     ts, blks, ios, lasts, wfs = R2._flatten_steps(
-        tile_start, tile_count, num_tiles, nb, nb
+        tile_start, tile_count, num_tiles, nb, nb, interpret=True
     )
     ts, blks, ios, lasts, wfs = map(np.asarray, (ts, blks, ios, lasts, wfs))
     nblocks = np.asarray(
