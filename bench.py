@@ -230,19 +230,34 @@ def main():
     )
 
     # render-only FPS (diagnostic): serving protocol — frozen params, so
-    # the sky window table is built once outside the timed loop
+    # the sky window table is built once outside the timed loop, and the
+    # sky samples on the 1/2 ray grid + exact bilinear upsample (the
+    # trained-scene serving default; max channel error vs the exact path
+    # measured 0.6/255 at this scale on a sphere-continuous sky —
+    # docs/perf_journal.md round 4, tests/test_fast_render.py)
+    import dataclasses as _dc
+
     from street_gaussians_tpu.models.sky_cubemap import build_sky_table
+
+    serve_opts = _dc.replace(eval_opts, sky_downsample=2)
+
+    @jax.jit
+    def render_serve(params, aux, f, sky_table):
+        return render_frame(
+            params, aux, scene.table, scene.pose_data, f,
+            step=jnp.asarray(10 ** 9), opts=serve_opts, sky_table=sky_table,
+        )["rgb"]
 
     sky_tbl = jax.jit(build_sky_table)(state.params.sky.cubemap)
     r = jax.block_until_ready(
-        render_only(state.params, state.aux, frame, sky_table=sky_tbl)
+        render_serve(state.params, state.aux, frame, sky_tbl)
     )
     t0 = time.time()
     n_render = iters
     for i in range(n_render):
-        r = render_only(
+        r = render_serve(
             state.params, state.aux, scene.frames[i % len(scene.frames)],
-            sky_table=sky_tbl,
+            sky_tbl,
         )
     float(jnp.sum(r))
     fps = n_render / (time.time() - t0)

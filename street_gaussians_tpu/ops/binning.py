@@ -203,6 +203,7 @@ def bin_gaussians_instances(
     instance_capacity: int,
     tile_capacity: int,
     interpret: bool | None = None,
+    corner_cull: bool = True,
 ) -> InstanceBinning:
     """Instance-major variant (tile_raster v2): one packed slot array,
     per-tile contiguous 128-aligned runs.
@@ -218,6 +219,26 @@ def bin_gaussians_instances(
 
     interpret: run the expansion kernel (ops/fill.py) in Pallas
     interpreter mode; None = auto (CPU backend).
+
+    corner_cull: drop instances whose maximum possible alpha anywhere
+    in their tile is provably < 1/255 — the blend kernel's own `active`
+    test (alpha >= ALPHA_MIN) zeroes exactly these, so the contributor
+    set and every blend weight are unchanged; the output matches to
+    ulp-level (removing lanes repartitions the 128-instance blocks,
+    regrouping the f32 transmittance sums), while the per-tile runs
+    (and with them the blend kernel's steps) shrink wherever a
+    gaussian's rect over-covers its ellipse (the rect corners; the CUDA
+    reference pays for these too, forward.cu:390-455 — it has no
+    per-tile test either). Under a BINDING tile_capacity the cull can
+    additionally improve output: zero-alpha instances stop occupying
+    capacity slots, letting real occluded contributors fit. Bound: with
+    conic C (PSD), power <= -lam_min(C)/2 * d^2 for d = distance from
+    mean2d to the tile's pixel-center box, so alpha <= op *
+    exp(-lam_min/2 * d^2); instances with that bound below 1/255 (with
+    a 1e-4 relative safety margin for float rounding) are retargeted to
+    the out-of-grid tile before the tile sort. Off for the binning
+    list-consistency tests (they compare index lists, not output, on
+    degenerate zero-opacity screens).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -239,6 +260,43 @@ def bin_gaussians_instances(
     # dominated binning). Ordering is bit-identical to the previous
     # expand -> stable-depth-sort -> stable-tile-sort pipeline: both
     # yield tile-major, depth-minor, original-index-tertiary. ----
+    cull_n = ()
+    if corner_cull:
+        # per-gaussian squared "reach": alpha can hit 1/255 only within
+        # r2max of the center in pixel space (power <= -lam_min/2 d^2).
+        # lam_min shrunk / r2max grown by ~1e-4 relative so f32 rounding
+        # can never drop an instance the kernel would have blended.
+        ca, cb, cc = screen.conic[:, 0], screen.conic[:, 1], screen.conic[:, 2]
+        lam_min = (
+            0.5 * (ca + cc)
+            - jnp.sqrt(jnp.maximum(0.25 * (ca - cc) ** 2 + cb * cb, 0.0))
+        ) * (1.0 - 1e-5)
+        th = 1.0 / 255.0
+        op = screen.opacity
+        # keep-everything sentinel is a large FINITE value: the select
+        # matmul multiplies non-selected values by 0, and inf * 0 = NaN
+        # would poison whole expansion blocks
+        r2max = jnp.where(
+            op > th,
+            jnp.where(
+                lam_min > 0.0,
+                jnp.minimum(
+                    2.0 * jnp.log(jnp.maximum(op, th) / th)
+                    / jnp.maximum(lam_min, 1e-30)
+                    * (1.0 + 1e-4)
+                    + 1e-6,
+                    1e30,
+                ),
+                1e30,
+            ),
+            -1.0,
+        )
+        # the cull is a non-differentiable keep/drop decision (it only
+        # removes instances whose blend contribution is exactly zero)
+        cull_n = jax.lax.stop_gradient(
+            (screen.mean2d[:, 0], screen.mean2d[:, 1], r2max)
+        )
+
     rwidth = screen.rect_max[:, 0] - screen.rect_min[:, 0]
     if grid_x < 128 and grid_y < 128:
         packed_rect_n = (
@@ -246,14 +304,15 @@ def bin_gaussians_instances(
             + (screen.rect_min[:, 1] << 7)
             + (rwidth << 14)
         )
-        _, pr_s, cnt_s, oid_s = jax.lax.sort(
-            (depth_key_n, packed_rect_n, cnt0, jnp.arange(n, dtype=jnp.int32)),
+        _, pr_s, cnt_s, oid_s, *cull_s = jax.lax.sort(
+            (depth_key_n, packed_rect_n, cnt0, jnp.arange(n, dtype=jnp.int32),
+             *cull_n),
             num_keys=1,
             is_stable=True,
         )
         rect_cols_s = None
     else:  # panorama-scale grids: separate rect columns
-        _, rx_s, ry_s, rw_s, cnt_s, oid_s = jax.lax.sort(
+        _, rx_s, ry_s, rw_s, cnt_s, oid_s, *cull_s = jax.lax.sort(
             (
                 depth_key_n,
                 screen.rect_min[:, 0],
@@ -261,6 +320,7 @@ def bin_gaussians_instances(
                 rwidth,
                 cnt0,
                 jnp.arange(n, dtype=jnp.int32),
+                *cull_n,
             ),
             num_keys=1,
             is_stable=True,
@@ -284,8 +344,11 @@ def bin_gaussians_instances(
     chans = (
         [oid_s, pr_s] if rect_cols_s is None else [oid_s, *rect_cols_s]
     )
+    nid = len(chans)
     filled = fill_lib.expand_runs(
-        jnp.stack([c.astype(jnp.float32) for c in chans], axis=0),
+        jnp.stack(
+            [c.astype(jnp.float32) for c in chans] + list(cull_s), axis=0
+        ),
         offs,
         total,
         S,
@@ -309,10 +372,21 @@ def bin_gaussians_instances(
     prev_g = jnp.concatenate([jnp.full((1,), -1, jnp.int32), gauss_i[:-1]])
     run_start = jax.lax.cummax(jnp.where(gauss_i != prev_g, s, 0))
     k = s - run_start
-    tile_id = jnp.where(
-        inst_valid, (ry + k // rw) * grid_x + rx + k % rw, num_tiles
-    ).astype(jnp.int32)
-    gauss_id = jnp.where(inst_valid, gauss_i, -1).astype(jnp.int32)
+    tx = rx + k % rw
+    ty = ry + k // rw
+    live = inst_valid
+    if corner_cull:
+        # distance from the gaussian center to this tile's pixel-center
+        # box [16 tx, 16 tx + 15] x [16 ty, 16 ty + 15] (integer pixel
+        # coordinates, matching the kernel's _pixel_coords)
+        mx_i, my_i, r2_i = filled[nid], filled[nid + 1], filled[nid + 2]
+        px0 = tx.astype(jnp.float32) * 16.0
+        py0 = ty.astype(jnp.float32) * 16.0
+        dx = jnp.clip(mx_i, px0, px0 + 15.0) - mx_i
+        dy = jnp.clip(my_i, py0, py0 + 15.0) - my_i
+        live = live & (dx * dx + dy * dy <= r2_i)
+    tile_id = jnp.where(live, ty * grid_x + tx, num_tiles).astype(jnp.int32)
+    gauss_id = jnp.where(live, gauss_i, -1).astype(jnp.int32)
 
     # ---- per-tile depth order from ONE stable tile sort (enumeration
     # order is already depth order; stability preserves it per tile) ----
@@ -321,9 +395,13 @@ def bin_gaussians_instances(
     # ---- per-tile starts from sort boundaries (no segment_sum) ----
     prev_t = jnp.concatenate([jnp.full((1,), -1, jnp.int32), st[:-1]])
     boundary = (st != prev_t) & (st < num_tiles)
+    # the sentinel after the last real tile must be the LIVE row count:
+    # corner-culled instances sort to the out-of-grid tile BELOW `total`,
+    # and the last real tile's run must not swallow them
+    L_live = jnp.searchsorted(st, num_tiles, side="left").astype(jnp.int32)
     # first-occurrence index per tile; empty tiles filled by reverse cummin
     starts_raw = (
-        jnp.full((num_tiles + 1,), total, jnp.int32)
+        jnp.full((num_tiles + 1,), L_live, jnp.int32)
         .at[jnp.where(boundary, st, num_tiles + 1)]
         .set(jnp.where(boundary, s, 0), mode="drop")
     )

@@ -102,6 +102,13 @@ def expand_runs(
     empty runs). total: scalar int32 = offs[-1] + cnt[-1]. Returns
     [C, num_slots] f32; slots >= total (or covered by no run) are 0.
     """
+    # run expansion is non-differentiable by design (binning ids / step
+    # tables — the CUDA reference treats the sorted lists as constants
+    # too); without this, shard_map's partial-eval materializes zero
+    # tangents and hits pallas_call's missing JVP rule
+    vals = jax.lax.stop_gradient(vals)
+    offs = jax.lax.stop_gradient(offs)
+    total = jax.lax.stop_gradient(total)
     C, N = vals.shape
     if num_slots % GOUT:  # pad the slot space; caller sees [C, num_slots]
         return expand_runs(
