@@ -71,6 +71,20 @@ def load_train_state(ckpt_dir: str, template, iteration: Optional[int] = None):
     path = os.path.abspath(os.path.join(ckpt_dir, f"iteration_{iteration}"))
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(path, item=jax.device_get(template))
+    # back-compat: pre-round-4 checkpoints stored the sky cubemap as
+    # [6, R, R, 3] faces; the parameter is now channel-major [3, 6*R*R]
+    # (models/sky_cubemap.py SkyParams). Convert every sky-shaped leaf
+    # (params + both Adam moments share the structure).
+    def _fix(leaf):
+        if getattr(leaf, "ndim", 0) == 4 and leaf.shape[0] == 6 and leaf.shape[-1] == 3:
+            import numpy as _np
+
+            return _np.transpose(_np.asarray(leaf).reshape(-1, 3), (1, 0))
+        return leaf
+
+    sky = getattr(getattr(restored, "params", None), "sky", None)
+    if sky is not None:
+        restored = jax.tree.map(_fix, restored)
     return jax.device_put(restored), iteration
 
 

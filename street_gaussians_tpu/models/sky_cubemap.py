@@ -32,42 +32,54 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _window_table(flat: jnp.ndarray, R: int) -> jnp.ndarray:
-    """[T, 3] texel table -> [ceil(T/10), 66] double-window row table.
+def _window_table(cm3: jnp.ndarray, R: int) -> jnp.ndarray:
+    """[3, T] channel-major texels -> [ceil(T/10), 66] double-window
+    row table, CHANNEL-PLANAR lanes.
 
-    Row r packs texels [10r, 10r+10] and [10r+R, 10r+R+10] (11+11 texels
-    interleaved rgb) so one row gather serves all 4 bilinear taps of any
-    pixel whose base texel falls in [10r, 10r+10). Depends only on the
-    cubemap parameters — at serving time (frozen params) build it ONCE
-    with `build_sky_table` and reuse across frames (the reference's
-    nvdiffrast samples the parameter texture directly and pays no
-    per-frame build at all, lib/models/sky_cubemap.py:99-119)."""
-    T = flat.shape[0]
+    Row r packs texels [10r, 10r+10] and [10r+R, 10r+R+10] (11+11
+    texels) per channel; lane layout c*22 + window*11 + k (channel c,
+    window 0/+R, in-window offset k) so one row gather serves all 4
+    bilinear taps of any pixel whose base texel falls in [10r, 10r+10).
+    Planar lanes let the table build read the [3, T] parameter planes
+    DIRECTLY — the earlier interleaved-rgb layout forced a per-step
+    relayout copy + a lane-padded (..., 3)-minor flatten of the whole
+    cubemap (4.3 + 4.4 ms/step in the round-4 trace; a (..., 3)-minor
+    f32 array pads its lane dim 3 -> 128, 42x memory). Depends only on
+    the parameters — at serving (frozen params) build ONCE with
+    `build_sky_table` (the reference's nvdiffrast samples the parameter
+    texture directly, lib/models/sky_cubemap.py:99-119)."""
+    T = cm3.shape[1]
     nrows = -(-T // 10)
-    fv = flat.reshape(-1)  # [T*3]
-    fp = jnp.pad(fv, (0, nrows * 30 + 3 * R + 63 - fv.shape[0]))
-    w0 = fp[: nrows * 30].reshape(nrows, 30)
-    w0b = fp[30 : 30 + nrows * 30].reshape(nrows, 30)[:, :3]
-    w1 = fp[3 * R : 3 * R + nrows * 30].reshape(nrows, 30)
-    w1b = fp[3 * R + 30 : 3 * R + 30 + nrows * 30].reshape(nrows, 30)[:, :3]
-    return jnp.concatenate([w0, w0b, w1, w1b], axis=1)  # [T/10, 66]
+    pieces = []
+    for c in range(3):
+        pc = jnp.pad(cm3[c], (0, nrows * 10 + R + 21 - T))
+        w0 = pc[: nrows * 10].reshape(nrows, 10)
+        w0b = pc[10 : 10 + nrows * 10].reshape(nrows, 10)[:, :1]
+        w1 = pc[R : R + nrows * 10].reshape(nrows, 10)
+        w1b = pc[R + 10 : R + 10 + nrows * 10].reshape(nrows, 10)[:, :1]
+        pieces += [w0, w0b, w1, w1b]
+    return jnp.concatenate(pieces, axis=1)  # [T/10, 66]
 
 
 def _combine_taps(tbl: jnp.ndarray, base: jnp.ndarray, e4: jnp.ndarray) -> jnp.ndarray:
     """Gather window rows by base//10 and contract the 4 tap weights:
     multiply by a per-lane weight image carrying e4[p, t] exactly at tap
-    t's lane, then collapse lanes to rgb with a 0/1 [66, 3] matmul."""
+    t's lane, then collapse lanes to rgb with a 0/1 [66, 3] matmul.
+    Lane l of a row holds channel l // 22, window (l % 22) // 11
+    (0 = base row, 1 = +R row), in-window offset l % 11."""
     bflat = base.reshape(-1)
     rows = jnp.take(tbl, bflat // 10, axis=0)  # [P, 66]
     j = (bflat % 10)[:, None]  # [P, 1]
     ef = e4.reshape(-1, 4)
     lane = np.arange(66)
-    kvec = jnp.asarray(np.where(lane < 33, lane // 3, (lane - 33) // 3))[None, :]
-    lo = jnp.asarray(lane < 33)[None, :]
+    kvec = jnp.asarray((lane % 22) % 11)[None, :]
+    lo = jnp.asarray((lane % 22) < 11)[None, :]
     w_hit = jnp.where(lo, ef[:, 0:1], ef[:, 2:3])
     w_nxt = jnp.where(lo, ef[:, 1:2], ef[:, 3:4])
     W66 = jnp.where(kvec == j, w_hit, 0.0) + jnp.where(kvec == j + 1, w_nxt, 0.0)
-    collapse = jnp.asarray((lane[:, None] % 3) == np.arange(3)[None, :], jnp.float32)
+    collapse = jnp.asarray(
+        (lane[:, None] // 22) == np.arange(3)[None, :], jnp.float32
+    )
     out = jax.lax.dot_general(
         rows * W66,
         collapse,
@@ -78,9 +90,9 @@ def _combine_taps(tbl: jnp.ndarray, base: jnp.ndarray, e4: jnp.ndarray) -> jnp.n
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _bilinear_taps(flat, base, e4, R, interpret=False):
-    """4-tap bilinear lookup of a [T, 3] table with a SCATTER-FREE
-    transpose.
+def _bilinear_taps(cm3, base, e4, R, interpret=False):
+    """4-tap bilinear lookup of a [3, T] channel-major table with a
+    SCATTER-FREE transpose.
 
     base: [...] int32 — linear index of the top-left tap texel;
     e4: [..., 4] f32 — tap weights in offset order (+0, +1, +R, +R+1),
@@ -113,11 +125,11 @@ def _bilinear_taps(flat, base, e4, R, interpret=False):
     # lane axis with a 0/1 [66, 3] channel-collapse matrix on the MXU.
     # Out-of-face window values are dead: border folding gives any tap
     # that would cross a row/face boundary zero weight.
-    return _combine_taps(_window_table(flat, R), base, e4)
+    return _combine_taps(_window_table(cm3, R), base, e4)
 
 
-def _bt_fwd(flat, base, e4, R, interpret):
-    return _bilinear_taps(flat, base, e4, R, interpret), (flat.shape[0], base, e4)
+def _bt_fwd(cm3, base, e4, R, interpret):
+    return _bilinear_taps(cm3, base, e4, R, interpret), (cm3.shape[1], base, e4)
 
 
 def _bt_bwd(R, interpret, res, d_out):
@@ -168,18 +180,26 @@ def _bt_bwd(R, interpret, res, d_out):
         )  # [4C, L]
     group = 2048
     Tp = _round_up(T, group)
-    planes = segsum_lib.segment_rowsum(
+    planes12 = segsum_lib.segment_rowsum(
         svals, skeys, num_segments=Tp, cap=cap, group=group,
         skip_empty=True, interpret=interpret,
-    ).reshape(4, C, Tp)  # channel-major: [tap, rgb, texel]
+    )  # [4*C, Tp], tap-major then rgb (row 3t+r = tap t, channel r)
     # tap plane for offset `off` accumulated at `base` belongs to texel
     # base + off: shift each plane down by its offset (live taps never
-    # cross a row/face boundary — border folding guarantees it)
-    d_cm = planes[0, :, :T]
+    # cross a row/face boundary — border folding guarantees it).
+    # Row SLICES of the [12, Tp] segsum output, NOT a [4, C, Tp]
+    # reshape: the reshape forced a T(4,128)-tiled relayout of the whole
+    # 300 MB buffer (2.35 ms/step in the round-4 trace); slices keep the
+    # native [12, Tp] layout.
+    d_cm = planes12[0:C, :T]
     for t, off in enumerate((1, R, R + 1)):
-        d_cm = d_cm + jnp.pad(planes[t + 1, :, :T], ((0, 0), (off, 0)))[:, :T]
+        d_cm = d_cm + jnp.pad(
+            planes12[(t + 1) * C : (t + 2) * C, :T], ((0, 0), (off, 0))
+        )[:, :T]
+    # d_cm IS the [3, T] channel-major cotangent — no transpose: the old
+    # [T, 3] orientation forced a lane-padded (3 -> 128) 3.2 GB buffer
     return (
-        d_cm.T,
+        d_cm,
         np.zeros(base.shape, jax.dtypes.float0),
         jnp.zeros_like(e4),
     )
@@ -191,7 +211,42 @@ _bilinear_taps.defvjp(_bt_fwd, _bt_bwd)
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SkyParams:
-    cubemap: jnp.ndarray  # [6, R, R, 3]
+    """cubemap: [3, 6*R*R] CHANNEL-MAJOR texels (channel, face-major
+    linear texel index). Stored channel-major because every hot consumer
+    is: the window-table build reads the three planes directly, and the
+    backward's segment-sum emits [3, T] — the logical [6, R, R, 3] view
+    has a (..., 3) minor dim that lane-pads 3 -> 128 on TPU (42x memory)
+    and cost a 4.3 ms relayout copy + a 4.4 ms padded flatten per train
+    step (round-4 trace). Constructing with a [6, R, R, 3] faces array
+    auto-converts (tests, checkpoint back-compat, exports use
+    `sky_faces`)."""
+
+    cubemap: jnp.ndarray  # [3, 6*R*R] f32
+
+    def __post_init__(self):
+        cm = self.cubemap
+        if getattr(cm, "ndim", 2) == 4 and hasattr(cm, "reshape"):
+            self.cubemap = jnp.transpose(
+                jnp.asarray(cm).reshape(-1, 3), (1, 0)
+            )
+
+
+def sky_resolution(cubemap: jnp.ndarray) -> int:
+    """Face resolution R from the [3, 6*R*R] (or [6, R, R, 3]) array."""
+    if cubemap.ndim == 4:
+        return cubemap.shape[1]
+    import math
+
+    return math.isqrt(cubemap.shape[1] // 6)
+
+
+def sky_faces(cubemap: jnp.ndarray) -> jnp.ndarray:
+    """[3, 6*R*R] -> logical [6, R, R, 3] faces (export/debug only —
+    materializes the lane-padded layout; never on the train path)."""
+    if cubemap.ndim == 4:
+        return cubemap
+    R = sky_resolution(cubemap)
+    return jnp.transpose(cubemap, (1, 0)).reshape(6, R, R, 3)
 
 
 def init_sky(resolution: int = 1024, white_background: bool = True) -> SkyParams:
@@ -199,7 +254,7 @@ def init_sky(resolution: int = 1024, white_background: bool = True) -> SkyParams
     eps = 1e-3
     base = 1.0 - eps if white_background else eps
     return SkyParams(
-        cubemap=jnp.full((6, resolution, resolution, 3), base, jnp.float32)
+        cubemap=jnp.full((3, 6 * resolution * resolution), base, jnp.float32)
     )
 
 
@@ -210,7 +265,8 @@ def build_sky_table(cubemap: jnp.ndarray) -> jnp.ndarray:
     per-frame table build + flatten (~11 ms/frame at R=1024 on v5e,
     docs/perf_journal.md round 4). The cached path is BIT-IDENTICAL to
     the default path (same `_combine_taps` on the same table values)."""
-    return _window_table(cubemap.reshape(-1, 3), cubemap.shape[1])
+    cm3 = SkyParams(cubemap).cubemap  # accepts [3, T] or legacy faces
+    return _window_table(cm3, sky_resolution(cm3))
 
 
 def sample_cubemap(
@@ -224,7 +280,9 @@ def sample_cubemap(
     in Pallas interpreter mode (CPU tests). `table`: optional precomputed
     `build_sky_table(cubemap)` — serving-only (NOT differentiable w.r.t.
     the cubemap), skips the per-frame table build."""
-    R = cubemap.shape[1]
+    if cubemap.ndim == 4:  # legacy faces layout (tests/exports)
+        cubemap = SkyParams(cubemap).cubemap
+    R = sky_resolution(cubemap)
     x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
     ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
 
@@ -259,14 +317,12 @@ def sample_cubemap(
     y0i = jnp.clip(y0.astype(jnp.int32), 0, R - 1)
     y1i = jnp.clip(y0i + 1, 0, R - 1)
 
-    # flattened linear-index gathers (a single [6*R*R, 3] operand row
-    # gather lowers far better on TPU than 3-axis advanced indexing);
-    # the 4 taps run through a custom-VJP core whose backward is a
-    # sort + segment-sum instead of a scatter-add. Taps are expressed as
-    # (base texel, static offsets {0, 1, R, R+1}); at the clamped
-    # borders (x1i == x0i / y1i == y0i) the degenerate tap's weight is
-    # folded into its live partner so offsets stay exact.
-    flat = cubemap.reshape(-1, 3)
+    # linear-index window gathers; the 4 taps run through a custom-VJP
+    # core whose backward is a sort + segment-sum instead of a
+    # scatter-add. Taps are expressed as (base texel, static offsets
+    # {0, 1, R, R+1}); at the clamped borders (x1i == x0i / y1i == y0i)
+    # the degenerate tap's weight is folded into its live partner so
+    # offsets stay exact.
     base = face * (R * R) + y0i * R + x0i
     w00 = (1 - fx) * (1 - fy)
     w01 = fx * (1 - fy)
@@ -281,7 +337,7 @@ def sample_cubemap(
     e4 = jnp.stack([e00, e01, e10, e11], axis=-1)
     if table is not None:
         return _combine_taps(table, base, e4)
-    return _bilinear_taps(flat, base, e4, R, interpret)
+    return _bilinear_taps(cubemap, base, e4, R, interpret)
 
 
 def render_sky(

@@ -392,24 +392,21 @@ def bin_gaussians_instances(
     # order is already depth order; stability preserves it per tile) ----
     st, sg = jax.lax.sort((tile_id, gauss_id), num_keys=1, is_stable=True)
 
-    # ---- per-tile starts from sort boundaries (no segment_sum) ----
-    prev_t = jnp.concatenate([jnp.full((1,), -1, jnp.int32), st[:-1]])
-    boundary = (st != prev_t) & (st < num_tiles)
-    # the sentinel after the last real tile must be the LIVE row count:
-    # corner-culled instances sort to the out-of-grid tile BELOW `total`,
-    # and the last real tile's run must not swallow them
-    L_live = jnp.searchsorted(st, num_tiles, side="left").astype(jnp.int32)
-    # first-occurrence index per tile; empty tiles filled by reverse cummin
-    starts_raw = (
-        jnp.full((num_tiles + 1,), L_live, jnp.int32)
-        .at[jnp.where(boundary, st, num_tiles + 1)]
-        .set(jnp.where(boundary, s, 0), mode="drop")
-    )
-    tile_start = jax.lax.cummin(starts_raw[::-1])[::-1]  # [T+1], non-decreasing
-    # fill values for trailing empty tiles are `total`, which EXCEEDS
-    # the array when instances overflow capacity — clamp to [0, S] so
-    # run descriptors (and the kernel's block indices) stay in bounds,
-    # and count only rows that exist in the array
+    # ---- per-tile starts: `st` is SORTED, so tile t's run starts at
+    # the first index with st >= t — one vectorized searchsorted with
+    # T+1 queries (log2(S) ~ 21 gather passes of [T+1] elements). The
+    # previous formulation scattered S-scale boundary markers into the
+    # [T+1] table (+ a reverse cummin): the scatter engine serializes
+    # per UPDATE, so that cost 7.3 ms/frame at bench scale for a 6.7k
+    # output (round-4 trace, fusion.21). Query T (> any real tile id)
+    # lands at the LIVE row count: corner-culled and invalid rows sort
+    # to tile `num_tiles`, and the last real tile's run must not
+    # swallow them. ----
+    tile_start = jnp.searchsorted(
+        st, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    # clamp to [0, S]: with instance overflow, runs past capacity must
+    # keep descriptors (and the kernel's block indices) in bounds
     tile_start = jnp.minimum(tile_start, S)
     counts_all = tile_start[1:] - tile_start[:-1]
 
@@ -426,6 +423,8 @@ def bin_gaussians_instances(
         # exist) — skip the rank machinery (a second S-scale cummax)
         keep = st < num_tiles
     else:
+        prev_t = jnp.concatenate([jnp.full((1,), -1, jnp.int32), st[:-1]])
+        boundary = (st != prev_t) & (st < num_tiles)
         running_start = jax.lax.cummax(jnp.where(boundary, s, 0))
         rank = s - running_start
         keep = (st < num_tiles) & (rank < tile_capacity)
