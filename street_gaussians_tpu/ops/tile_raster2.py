@@ -86,21 +86,38 @@ def _tri_lower_incl():
     return (ii <= jj).astype(jnp.float32)
 
 
-def _lane_prefix_sum(x, exact=False):
+def _lane_prefix_sum(x, exact=False, interpret=False):
     """Inclusive prefix-sum along lanes via the triangular matmul.
-    exact=True uses 3-pass bf16x3 (~f32) for real-valued summands;
-    the default single-pass bf16 is reserved for 0/1 indicators, which
+
+    exact=True: real-valued summands. On hardware this is a manual
+    TWO-pass bf16 split (hi = bf16(x), lo = x - hi; prefix(hi) +
+    prefix(lo)) — ~2^-16-relative addend fidelity at 2/3 the MXU passes
+    of Precision.HIGHEST's bf16x3 (the blend kernels are MXU-tile-bound
+    on exactly these prefix products; worst-case drift measured by
+    script/tpu_drift_check.py, bounded by the existing gate). The
+    interpret (CPU oracle-parity) path keeps the single exact-f32 dot.
+    The default single-pass bf16 is reserved for 0/1 indicators, which
     it sums exactly."""
+    L = _tri_lower_incl()
+    dims = (((1,), (0,)), ((), ()))
+    if exact and not interpret:
+        hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = x - hi
+        return jax.lax.dot_general(
+            hi, L, dims, preferred_element_type=jnp.float32
+        ) + jax.lax.dot_general(
+            lo, L, dims, preferred_element_type=jnp.float32
+        )
     return jax.lax.dot_general(
         x,
-        _tri_lower_incl(),
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        L,
+        dimension_numbers=dims,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST if exact else None,
     )
 
 
-def _block_alpha(blk_ref, px, py, done, slot_valid):
+def _block_alpha(blk_ref, px, py, done, slot_valid, interpret=False):
     """blk_ref: [1, c_pad, CHUNK] VMEM block. slot_valid: [1, CHUNK].
 
     Returns (a, om, logs, cums_incl, extras): logs = log1p(-a) and its
@@ -125,7 +142,7 @@ def _block_alpha(blk_ref, px, py, done, slot_valid):
     a = jnp.where(active, alpha, 0.0)
     om = 1.0 - a  # >= 0.01 (alpha clamp)
     logs = jnp.log1p(-a)
-    cums_incl = _lane_prefix_sum(logs, exact=True)
+    cums_incl = _lane_prefix_sum(logs, exact=True, interpret=interpret)
     return a, om, logs, cums_incl, (dx, dy, ca, cb, cc, apow, alpha_raw)
 
 
@@ -267,6 +284,7 @@ def _fwd_kernel(
     *,
     num_features,
     grid_x,
+    interpret=False,
 ):
     F = num_features
     s = pl.program_id(0)
@@ -288,7 +306,8 @@ def _fwd_kernel(
         logT = logT_s[...]
         done = done_s[...]
         a, om, logs, cums_incl, _ = _block_alpha(
-            blk_ref, px, py, done, _slot_valid(blk_idx_ref[s], start, cnt)
+            blk_ref, px, py, done, _slot_valid(blk_idx_ref[s], start, cnt),
+            interpret=interpret,
         )
         trigger, blend = _blend_masks_log(a, cums_incl, logT)
         # w_j = a_j * T_in * prod_{i<j}(1-a_i), all in log space
@@ -335,6 +354,7 @@ def _bwd_kernel(
     *,
     num_features,
     grid_x,
+    interpret=False,
 ):
     F = num_features
     s = pl.program_id(0)
@@ -375,7 +395,8 @@ def _bwd_kernel(
         logT = logT_s[...]
         done = done_s[...]
         a, om, logs, cums_incl, extras = _block_alpha(
-            blk_ref, px, py, done, _slot_valid(blk_idx_ref[s], start, cnt)
+            blk_ref, px, py, done, _slot_valid(blk_idx_ref[s], start, cnt),
+            interpret=interpret,
         )
         dx, dy, ca, cb, cc, apow, alpha_raw = extras
         trigger, blend = _blend_masks_log(a, cums_incl, logT)
@@ -390,7 +411,7 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32,
         )
         u = w * phi
-        cumsum_u = _lane_prefix_sum(u, exact=True) + u_s[...]
+        cumsum_u = _lane_prefix_sum(u, exact=True, interpret=interpret) + u_s[...]
         suffix = S_total - cumsum_u
 
         da = jnp.where(blend, Tprefix * phi - (suffix + gT_Tfin) / om, 0.0)
@@ -451,7 +472,9 @@ def _fwd_call(payload, tile_start, tile_count, num_features, grid_x, num_tiles,
         interpret=interpret,
     )
     MAXC = ts.shape[0]
-    kernel = functools.partial(_fwd_kernel, num_features=F, grid_x=grid_x)
+    kernel = functools.partial(
+        _fwd_kernel, num_features=F, grid_x=grid_x, interpret=interpret
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(MAXC,),
@@ -496,7 +519,9 @@ def _bwd_call(payload, tile_start, tile_count, out_res, gout, num_features,
         interpret=interpret,
     )
     MAXC = ts.shape[0]
-    kernel = functools.partial(_bwd_kernel, num_features=F, grid_x=grid_x)
+    kernel = functools.partial(
+        _bwd_kernel, num_features=F, grid_x=grid_x, interpret=interpret
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(MAXC,),
