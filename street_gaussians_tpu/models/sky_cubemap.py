@@ -32,14 +32,20 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _window_table(cm3: jnp.ndarray, R: int) -> jnp.ndarray:
-    """[3, T] channel-major texels -> [ceil(T/10), 66] double-window
-    row table, CHANNEL-PLANAR lanes.
+# texels per window-table row (lane budget: 3 channels x 2 windows x
+# (WINDOW + 1) lanes <= 128 -> WINDOW <= 20; 16 keeps //, % as shifts
+# and the row count (table size, build write traffic) minimal)
+WINDOW = 16
 
-    Row r packs texels [10r, 10r+10] and [10r+R, 10r+R+10] (11+11
-    texels) per channel; lane layout c*22 + window*11 + k (channel c,
+
+def _window_table(cm3: jnp.ndarray, R: int) -> jnp.ndarray:
+    """[3, T] channel-major texels -> [ceil(T/W), 3*(2W+2)] double-
+    window row table, CHANNEL-PLANAR lanes (W = WINDOW texels/row).
+
+    Row r packs texels [Wr, Wr+W] and [Wr+R, Wr+R+W] (W+1 texels each)
+    per channel; lane layout c*(2W+2) + window*(W+1) + k (channel c,
     window 0/+R, in-window offset k) so one row gather serves all 4
-    bilinear taps of any pixel whose base texel falls in [10r, 10r+10).
+    bilinear taps of any pixel whose base texel falls in [Wr, Wr+W).
     Planar lanes let the table build read the [3, T] parameter planes
     DIRECTLY — the earlier interleaved-rgb layout forced a per-step
     relayout copy + a lane-padded (..., 3)-minor flatten of the whole
@@ -49,39 +55,44 @@ def _window_table(cm3: jnp.ndarray, R: int) -> jnp.ndarray:
     `build_sky_table` (the reference's nvdiffrast samples the parameter
     texture directly, lib/models/sky_cubemap.py:99-119)."""
     T = cm3.shape[1]
-    nrows = -(-T // 10)
+    W = WINDOW
+    nrows = -(-T // W)
     pieces = []
     for c in range(3):
-        pc = jnp.pad(cm3[c], (0, nrows * 10 + R + 21 - T))
-        w0 = pc[: nrows * 10].reshape(nrows, 10)
-        w0b = pc[10 : 10 + nrows * 10].reshape(nrows, 10)[:, :1]
-        w1 = pc[R : R + nrows * 10].reshape(nrows, 10)
-        w1b = pc[R + 10 : R + 10 + nrows * 10].reshape(nrows, 10)[:, :1]
+        pc = jnp.pad(cm3[c], (0, nrows * W + R + 2 * W + 1 - T))
+        w0 = pc[: nrows * W].reshape(nrows, W)
+        w0b = pc[W : W + nrows * W].reshape(nrows, W)[:, :1]
+        w1 = pc[R : R + nrows * W].reshape(nrows, W)
+        w1b = pc[R + W : R + W + nrows * W].reshape(nrows, W)[:, :1]
         pieces += [w0, w0b, w1, w1b]
-    return jnp.concatenate(pieces, axis=1)  # [T/10, 66]
+    return jnp.concatenate(pieces, axis=1)  # [T/W, 3*(2W+2)]
 
 
 def _combine_taps(tbl: jnp.ndarray, base: jnp.ndarray, e4: jnp.ndarray) -> jnp.ndarray:
-    """Gather window rows by base//10 and contract the 4 tap weights:
-    multiply by a per-lane weight image carrying e4[p, t] exactly at tap
-    t's lane, then collapse lanes to rgb with a 0/1 [66, 3] matmul.
-    Lane l of a row holds channel l // 22, window (l % 22) // 11
-    (0 = base row, 1 = +R row), in-window offset l % 11."""
+    """Gather window rows by base // WINDOW and contract the 4 tap
+    weights: multiply by a per-lane weight image carrying e4[p, t]
+    exactly at tap t's lane, then collapse lanes to rgb with a 0/1
+    [lanes, 3] matmul.
+    Lane l of a row holds channel l // (2W+2), window
+    (l % (2W+2)) // (W+1) (0 = base row, 1 = +R row), in-window offset
+    (l % (2W+2)) % (W+1)."""
+    W = WINDOW
+    span = 2 * W + 2  # lanes per channel
     bflat = base.reshape(-1)
-    rows = jnp.take(tbl, bflat // 10, axis=0)  # [P, 66]
-    j = (bflat % 10)[:, None]  # [P, 1]
+    rows = jnp.take(tbl, bflat // W, axis=0)  # [P, 3*span]
+    j = (bflat % W)[:, None]  # [P, 1]
     ef = e4.reshape(-1, 4)
-    lane = np.arange(66)
-    kvec = jnp.asarray((lane % 22) % 11)[None, :]
-    lo = jnp.asarray((lane % 22) < 11)[None, :]
+    lane = np.arange(3 * span)
+    kvec = jnp.asarray((lane % span) % (W + 1))[None, :]
+    lo = jnp.asarray((lane % span) < W + 1)[None, :]
     w_hit = jnp.where(lo, ef[:, 0:1], ef[:, 2:3])
     w_nxt = jnp.where(lo, ef[:, 1:2], ef[:, 3:4])
-    W66 = jnp.where(kvec == j, w_hit, 0.0) + jnp.where(kvec == j + 1, w_nxt, 0.0)
+    Wimg = jnp.where(kvec == j, w_hit, 0.0) + jnp.where(kvec == j + 1, w_nxt, 0.0)
     collapse = jnp.asarray(
-        (lane[:, None] // 22) == np.arange(3)[None, :], jnp.float32
+        (lane[:, None] // span) == np.arange(3)[None, :], jnp.float32
     )
     out = jax.lax.dot_general(
-        rows * W66,
+        rows * Wimg,
         collapse,
         dimension_numbers=(((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
@@ -113,18 +124,16 @@ def _bilinear_taps(cm3, base, e4, R, interpret=False):
     """
     # ONE wide gather instead of 4 narrow ones (gather cost is per-ROW
     # latency-dominated, so minimizing descriptor count beats minimizing
-    # bytes). Rows pack TEN texels' tap windows: row r holds texels
-    # [10r, 10r+10] and [10r+R, 10r+R+10] (11+11 texels, 66 f32; the
-    # minor dim pads to 128 lanes either way, so a [T, 12] per-texel
-    # table would be 3.2 GB physical and its build alone cost ~13 ms —
-    # [T/10, 66] is 322 MB, ~1 ms). A pixel with base b reads row b//10
-    # and combines its 4 taps (in-row offset j = b%10, j+1 <= 10) in one
-    # shot: multiply by a weight image W66[p, l] that carries e4[p, t]
-    # exactly at tap t's lane and 0 elsewhere (2-D elementwise —
-    # PER-LANE column slicing measured 3.5x worse), then contract the
-    # lane axis with a 0/1 [66, 3] channel-collapse matrix on the MXU.
-    # Out-of-face window values are dead: border folding gives any tap
-    # that would cross a row/face boundary zero weight.
+    # bytes). Rows pack WINDOW texels' tap windows per channel (a
+    # [T, 12] per-texel table would be 3.2 GB physical from lane
+    # padding). A pixel with base b reads row b // WINDOW and combines
+    # its 4 taps (in-row offset j = b % WINDOW, j+1 <= WINDOW) in one
+    # shot: multiply by a weight image that carries e4[p, t] exactly at
+    # tap t's lane and 0 elsewhere (2-D elementwise — PER-LANE column
+    # slicing measured 3.5x worse), then contract the lane axis with a
+    # 0/1 channel-collapse matrix on the MXU. Out-of-face window values
+    # are dead: border folding gives any tap that would cross a
+    # row/face boundary zero weight.
     return _combine_taps(_window_table(cm3, R), base, e4)
 
 
