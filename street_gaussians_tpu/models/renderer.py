@@ -99,6 +99,9 @@ class RenderOptions:
     # bound measured in tests/test_fast_render.py + on TPU in
     # docs/perf_journal.md). 1 = off; ignored in train mode.
     sky_downsample: int = 1
+    # per-tile ellipse corner cull (contributor-set-exact; see
+    # RasterizeConfig.corner_cull)
+    corner_cull: bool = True
 
 
 def compose_frame(
@@ -498,6 +501,7 @@ def render_frame(
             tile_capacity=opts.tile_capacity or opts.instance_capacity,
             instance_capacity=opts.instance_capacity,
             interpret=opts.interpret,
+            corner_cull=opts.corner_cull,
         ),
         absgrad_dummy=absgrad_dummy,
     )

@@ -36,6 +36,10 @@ class RasterizeConfig:
     # (tile_raster2, the fast path); 'table' = dense [T, K] payload
     # (tile_raster v1, also used as the interpreter-mode path)
     layout: str = "instance"
+    # drop (gaussian, tile) instances whose max possible alpha in the
+    # tile is provably < 1/255 (binning.bin_gaussians_instances) —
+    # contributor-set-exact; config knob render.corner_cull
+    corner_cull: bool = True
 
 
 def _grid_dims(H: int, W: int):
@@ -191,6 +195,7 @@ def rasterize(
         bins = binning_lib.bin_gaussians_instances(
             screen, grid_x, grid_y, config.instance_capacity,
             config.tile_capacity, interpret=config.interpret,
+            corner_cull=config.corner_cull,
         )
         # ONE consolidated [N, c_pad] source + one row gather: XLA lowers
         # separate per-channel gathers fused into the surrounding graph

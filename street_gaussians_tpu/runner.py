@@ -147,6 +147,7 @@ def render_opts_from_cfg(cfg: Config, mode: str) -> RenderOptions:
         instance_capacity=ic,
         interpret=interpret,
         sky_downsample=int(cfg.render.get("sky_downsample", 1) or 1),
+        corner_cull=bool(cfg.render.get("corner_cull", True)),
     )
 
 
