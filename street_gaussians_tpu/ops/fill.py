@@ -43,8 +43,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-GOUT = 1024  # slots per output block
-CAP = 512  # candidate runs per step
+# Tuned on v5e at bench scale (1.5M slots, 660k runs; probe sweep in
+# docs/perf_journal.md round 4): smaller blocks win — the mask build
+# (2 compares over [GOUT, CAP] per step) and the M=C-thin select
+# matmul both scale with block area, and at these sizes the extra grid
+# steps are cheaper than the larger per-step mask/matmul.
+GOUT = 512  # slots per output block
+CAP = 256  # candidate runs per step
 
 
 def _kernel(
