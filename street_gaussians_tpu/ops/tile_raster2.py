@@ -204,10 +204,18 @@ def _flatten_steps(tile_start, tile_count, num_tiles, num_blocks, trash,
     from street_gaussians_tpu.ops import fill as fill_lib
 
     MAXC = _max_steps(num_blocks, num_tiles)
-    # empty tiles get ZERO steps (their output blocks are patched by a
-    # fused where after the call)
+    # EVERY tile gets >= 1 step: an empty tile's single step runs only
+    # the i==0 state reset and the last-step write, emitting the empty
+    # blend state (accum 0, T = 1) from the kernel itself. The previous
+    # zero-step scheme patched empty tiles with a fused `where` over the
+    # whole lane-padded [T, 256, F+1] output (~878 MB read+write,
+    # 2.7 ms/iter at bench scale); an extra grid step costs ~0.6 us.
+    # `real`/write_first below still use the ACTUAL block count, so an
+    # empty tile's step never claims a payload block write (the backward
+    # accumulation invariant).
     nblocks_t = _tile_nblocks(tile_start, tile_count)  # [T]
-    starts = jnp.cumsum(nblocks_t) - nblocks_t
+    alloc_t = jnp.maximum(nblocks_t, 1)  # grid steps per tile
+    starts = jnp.cumsum(alloc_t) - alloc_t
     step = jnp.arange(MAXC, dtype=jnp.int32)
 
     # expansion via the MXU select kernel (one pass for all 4 channels;
@@ -227,7 +235,7 @@ def _flatten_steps(tile_start, tile_count, num_tiles, num_blocks, trash,
         ],
         axis=0,
     )
-    total_steps = starts[-1] + nblocks_t[-1]
+    total_steps = starts[-1] + alloc_t[-1]
     filled = fill_lib.expand_runs(
         chans, starts.astype(jnp.int32), total_steps, MAXC,
         interpret=interpret,
@@ -259,7 +267,9 @@ def _flatten_steps(tile_start, tile_count, num_tiles, num_blocks, trash,
     write_first = (real & ((blk_mono > prev_blk) | first_real)).astype(
         jnp.int32
     )
-    last_of_step = (i_of_step == nblocks_of_step - 1).astype(jnp.int32)
+    last_of_step = (
+        i_of_step == jnp.maximum(nblocks_of_step, 1) - 1
+    ).astype(jnp.int32)
     return tile_of_step, blk_mono, i_of_step, last_of_step, write_first
 
 
@@ -496,17 +506,12 @@ def _fwd_call(payload, tile_start, tile_count, num_features, grid_x, num_tiles,
             pltpu.VMEM((PIX, F), jnp.float32),
         ],
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, F + 1), jnp.float32),
         interpret=interpret,
     )(ts, blks, ios, lasts, wfs, tile_start, tile_count, payload)
-    # empty tiles got no kernel step: patch their (unwritten) output
-    # blocks with the empty blend state (accum 0, T 1). XLA fuses this
-    # into the downstream image assembly, so it is ~free.
-    tvec = jnp.zeros((F + 1,), jnp.float32).at[F].set(1.0)
-    return jnp.where((tile_count <= 0)[:, None, None], tvec[None, None, :], out)
 
 
 def _bwd_call(payload, tile_start, tile_count, out_res, gout, num_features,

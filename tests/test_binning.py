@@ -180,7 +180,9 @@ def test_flatten_steps_first_real_step_writes():
     """Leading EMPTY tiles share block id 0 with the cummax fill value:
     the first real step writing block 0 must still have write_first=1,
     or the backward accumulates into uninitialized VMEM (regression;
-    invisible in interpret mode, which zero-fills outputs)."""
+    invisible in interpret mode, which zero-fills outputs). Empty tiles
+    get exactly ONE step each (the kernel emits their empty blend state
+    at that step) which must NOT claim a payload-block write."""
     from street_gaussians_tpu.ops import tile_raster2 as R2
 
     num_tiles = 6
@@ -195,14 +197,20 @@ def test_flatten_steps_first_real_step_writes():
     nblocks = np.asarray(
         R2._tile_nblocks(tile_start, tile_count), dtype=np.int64
     )
-    # empty tiles get ZERO steps (tile_raster2 patches their output
-    # blocks with a fused where after the call)
+    # every tile gets max(nblocks, 1) steps; an empty tile's single step
+    # has last=1 (output write) but is not a real payload step
     real = np.zeros_like(wfs, bool)
     step = 0
     for t in range(num_tiles):
-        for i in range(int(nblocks[t])):
-            real[step] = True
+        alloc = max(int(nblocks[t]), 1)
+        for i in range(alloc):
+            real[step] = i < int(nblocks[t])
+            assert ts[step] == t, f"step {step} tile {ts[step]} != {t}"
+            assert lasts[step] == (1 if i == alloc - 1 else 0)
             step += 1
+    # tail steps: no output writes, no payload claims
+    for s in range(step, len(wfs)):
+        assert lasts[s] == 0 and wfs[s] == 0
     # every real step's block gets written-first exactly once
     written = set()
     for s in range(len(wfs)):
