@@ -421,7 +421,15 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32,
         )
         u = w * phi
-        cumsum_u = _lane_prefix_sum(u, exact=True, interpret=interpret) + u_s[...]
+        # single-pass bf16 prefix: the suffix feeds `da` additively next
+        # to gT_Tfin and the per-addend 2^-8 rounding is ~1e-3 of the
+        # gradient scale (drift-gate-verified); the LOG-transmittance
+        # prefix above must stay two-pass (its error exponentiates into
+        # the blend weights)
+        if interpret:
+            cumsum_u = _lane_prefix_sum(u, exact=True, interpret=True) + u_s[...]
+        else:
+            cumsum_u = _lane_prefix_sum(u) + u_s[...]
         suffix = S_total - cumsum_u
 
         da = jnp.where(blend, Tprefix * phi - (suffix + gT_Tfin) / om, 0.0)
