@@ -102,7 +102,7 @@ def main():
     # this scene — not an honest speedup (docs/perf_journal.md wave 4).
     instance_capacity = 1536 * 1024 if on_tpu else 2 ** 13  # 1.25M actual + headroom
     tile_capacity = instance_capacity if on_tpu else 128
-    iters = 20 if on_tpu else 2
+    iters = args.iters or (20 if on_tpu else 2)
     warmup = 3 if on_tpu else 1
 
     print(f"[bench] backend={backend} H={H} W={W} bkgd={num_bkgd}", file=sys.stderr)
