@@ -75,8 +75,21 @@ def load_train_state(ckpt_dir: str, template, iteration: Optional[int] = None):
     # [6, R, R, 3] faces; the parameter is now channel-major [3, 6*R*R]
     # (models/sky_cubemap.py SkyParams). Convert every sky-shaped leaf
     # (params + both Adam moments share the structure).
-    def _fix(leaf):
-        if getattr(leaf, "ndim", 0) == 4 and leaf.shape[0] == 6 and leaf.shape[-1] == 3:
+    def _fix(path, leaf):
+        # scoped to sky subtrees (params.sky / adam moments share the
+        # structure) so a coincidentally [6, *, *, 3]-shaped leaf
+        # elsewhere in the state is never transposed
+        in_sky = any(
+            getattr(p, "name", None) == "sky"
+            or getattr(p, "key", None) == "sky"
+            for p in path
+        )
+        if (
+            in_sky
+            and getattr(leaf, "ndim", 0) == 4
+            and leaf.shape[0] == 6
+            and leaf.shape[-1] == 3
+        ):
             import numpy as _np
 
             return _np.transpose(_np.asarray(leaf).reshape(-1, 3), (1, 0))
@@ -84,7 +97,7 @@ def load_train_state(ckpt_dir: str, template, iteration: Optional[int] = None):
 
     sky = getattr(getattr(restored, "params", None), "sky", None)
     if sky is not None:
-        restored = jax.tree.map(_fix, restored)
+        restored = jax.tree_util.tree_map_with_path(_fix, restored)
     return jax.device_put(restored), iteration
 
 

@@ -276,8 +276,11 @@ def bin_gaussians_instances(
         # keep-everything sentinel is a large FINITE value: the select
         # matmul multiplies non-selected values by 0, and inf * 0 = NaN
         # would poison whole expansion blocks
+        # >= so an opacity of exactly 1/255 centered on a pixel matches
+        # the kernel's `alpha >= ALPHA_MIN` keep test (contributor-set
+        # contract holds on the boundary too)
         r2max = jnp.where(
-            op > th,
+            op >= th,
             jnp.where(
                 lam_min > 0.0,
                 jnp.minimum(

@@ -115,6 +115,16 @@ def expand_runs(
     offs = jax.lax.stop_gradient(offs)
     total = jax.lax.stop_gradient(total)
     C, N = vals.shape
+    if N >= 2**24:
+        # callers route integer channels (gaussian ids, step tables)
+        # through this f32 matmul; f32 represents ints exactly only
+        # below 2^24. Fail loudly instead of silently rounding ids on a
+        # >=16.7M-gaussian scene (shard the gauss axis first).
+        raise ValueError(
+            f"expand_runs: {N} runs >= 2**24 — f32 select-matmul would "
+            "round integer channels; shard the gaussian axis below 2^24 "
+            "per device (parallel/gauss.py)"
+        )
     if num_slots % GOUT:  # pad the slot space; caller sees [C, num_slots]
         return expand_runs(
             vals, offs, total, -(-num_slots // GOUT) * GOUT,

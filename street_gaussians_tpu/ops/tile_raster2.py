@@ -156,7 +156,13 @@ def _blend_masks_log(a, cums_incl, logT):
     (monotone 1->0). If m_j: every i <= j has cums_i >= cums_j, so no
     trigger at or before j and blend_j = (a_j > 0). If not m_j and
     a_j > 0: j itself triggers (the INCLUSIVE prefix counted it), so
-    blend_j = 0. Both cases equal (a > 0) & m. This removes one
+    blend_j = 0. Both cases equal (a > 0) & m. The proof holds in exact
+    arithmetic; on hardware cums_incl comes from the two-pass bf16-split
+    prefix matmul whose per-lane rounding can break monotonicity by
+    ~2^-16-relative, letting a lane just past termination blend with
+    weight up to ~T_EPS-scale — inside the early-termination
+    approximation's own budget and covered by script/tpu_drift_check.py
+    after every kernel change. This removes one
     [PIX, CHUNK] @ [CHUNK, CHUNK] matmul per block from BOTH kernels —
     the kernels are MXU-bound on exactly these prefix products
     (~0.27 us/step of the measured ~1.4 us steps)."""

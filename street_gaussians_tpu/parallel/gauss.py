@@ -248,12 +248,14 @@ def shard_train_state(state, mesh: Mesh, axis: str = "gauss"):
 def _sharded_render(
     params, aux, table, pose_data, frame_inp, key, opts, axis, step,
     include_mask=None, mean2d_offset=None, absgrad_dummy=None,
-    compose_sky=True,
+    compose_sky=True, row_shard=None, sky_jitter=None,
 ):
     """Shard-local compose+preprocess, all_gather of the screen rows,
     replicated binning+blend (the train-path twin of render_local in
     make_gauss_sharded_render; include_mask is per-MODEL [M] and is
-    indexed through the local rows' model_id, so it needs no slicing)."""
+    indexed through the local rows' model_id, so it needs no slicing).
+    With row_shard set (2D gauss x tile mesh) the binning + blend runs
+    on only that band of tile rows of the GATHERED screen rows."""
     screen, composed = screen_space(
         params, aux, table, pose_data, frame_inp,
         step=step, include_mask=include_mask, key=key, opts=opts,
@@ -269,6 +271,7 @@ def _sharded_render(
         params, aux, table, pose_data, frame_inp,
         step=step, include_mask=include_mask, key=key, opts=opts,
         compose_sky=compose_sky, absgrad_dummy=absgrad_dummy,
+        row_shard=row_shard, sky_jitter=sky_jitter,
         screen_composed=(screen_full, composed_full),
     )
 

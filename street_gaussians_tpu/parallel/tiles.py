@@ -194,6 +194,13 @@ def make_tile_sharded_train_step(
     C = table.capacity
     Dt = mesh.shape[axis]
     obj_mask = render_object_mask(table) if table.num_models > 1 else None
+    # Per-band capacity assumes instances spread ~uniformly over tile-row
+    # bands; a skewed scene (e.g. a dense ground band) can overflow a band
+    # and drop instances where the single-device step would not, perturbing
+    # gradients until the psum'd overflow watchdog regrows capacity. Such
+    # runs need a larger train.instance_capacity (the per-band share is
+    # intentionally NOT over-provisioned here: band arrays scale with it,
+    # which is the whole point of tile sharding).
     local_opts = dataclasses.replace(
         opts,
         instance_capacity=max(_round_up(opts.instance_capacity // Dt, 128), 1024),

@@ -227,6 +227,39 @@ def test_tile_sharded_multi_step_loss_trajectory():
     assert losses_ref[-1] < losses_ref[0]
 
 
+def test_tile_sharded_20step_integration_gate():
+    """Fixed-seed 20-step integration gate: the tile-sharded trajectory's
+    FINAL loss and PSNR must match the single-device trajectory with no
+    per-leaf filtering — the unconditional complement to the tolerance-
+    model comparisons above, so any future gradient-calibration
+    regression in parallel/tiles.py is unmissable."""
+    scene, params, opts, cfg = _setup(mode="eval")
+    views = [scene.frames[i % len(scene.frames)] for i in range(20)]
+    gts = _gts(scene, params, opts, views)
+
+    step_single = make_train_step(
+        cfg, scene.table, scene.pose_data, opts, donate=False
+    )
+    s = init_train_state(params, scene.aux)
+    for v, g in zip(views, gts):
+        s, sc_ref = step_single(s, v, g, jax.random.PRNGKey(int(s.step)))
+
+    step_fn = make_tile_sharded_train_step(
+        cfg, scene.table, scene.pose_data, opts, make_tile_mesh(4)
+    )
+    s = init_train_state(_fresh(params), _fresh(scene.aux))
+    for v, g in zip(views, gts):
+        s, sc_sh = step_fn(s, v, g, jax.random.PRNGKey(int(s.step)))
+
+    np.testing.assert_allclose(
+        float(sc_sh["loss"]), float(sc_ref["loss"]), rtol=2e-3
+    )
+    assert abs(float(sc_sh["psnr"]) - float(sc_ref["psnr"])) <= 0.05, (
+        f"20-step PSNR drifted: sharded {float(sc_sh['psnr']):.4f} vs "
+        f"single {float(sc_ref['psnr']):.4f}"
+    )
+
+
 def test_tile_sharded_composes_with_camera_dp():
     """2D ('data','tile') mesh: a 2-camera batch, each camera's render
     split over 2 tile bands, must match the camera-DP step on the same
