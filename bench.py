@@ -40,7 +40,10 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mesh", default=None, help="data=N, tile=N, tiletrain=N, or gauss=N")
+    ap.add_argument(
+        "--mesh", default=None,
+        help="data=N, tile=N, tiletrain=N, gauss=N, or gausstile=GxT",
+    )
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument(
         "--trace",
@@ -140,8 +143,20 @@ def main():
     # ---- scaling modes ----
     if args.mesh:
         kind, _, n = args.mesh.partition("=")
-        n = int(n)
         ndev = len(jax.devices())
+        if kind == "gausstile":
+            dg, _, dt = n.partition("x")
+            if int(dg) * int(dt or 2) > ndev:
+                raise SystemExit(
+                    f"gausstile={n} needs {int(dg) * int(dt or 2)} "
+                    f"devices, have {ndev}"
+                )
+            run_mesh_bench(
+                kind, n, cfg, scene, params, opts, H, W,
+                iters=args.iters or iters, warmup=warmup,
+            )
+            return
+        n = int(n)
         if n > ndev:
             print(
                 f"[bench] requested {kind}={n} but only {ndev} devices; "
@@ -506,10 +521,64 @@ def run_mesh_bench(kind, n, cfg, scene, params, opts, H, W, iters, warmup):
                 }
             )
         )
+    elif kind == "gausstile":
+        # gauss x tile composed TRAINING (parallel/gauss.py tile_axis):
+        # rows + Adam sharded Dg-way AND each blend split Dt-way —
+        # `--mesh gausstile=GxT` (e.g. 2x4)
+        import numpy as np
+        from jax.sharding import Mesh as _Mesh
+
+        from street_gaussians_tpu.parallel.gauss import (
+            make_gauss_sharded_train_step,
+            shard_train_state,
+        )
+
+        dg, _, dt = str(n).partition("x")
+        dg, dt = int(dg), int(dt or 2)
+        C = scene.table.capacity
+        if C % dg:
+            raise SystemExit(f"capacity {C} not divisible by gauss={dg}")
+        mesh = _Mesh(
+            np.array(jax.devices()[: dg * dt]).reshape(dg, dt),
+            ("gauss", "tile"),
+        )
+        step_fn = make_gauss_sharded_train_step(
+            cfg, scene.table, scene.pose_data, opts, mesh, tile_axis="tile"
+        )
+        state = shard_train_state(
+            train_lib.init_train_state(params, scene.aux), mesh
+        )
+        key = jax.random.PRNGKey(0)
+        scalars = {}
+        for _ in range(warmup):
+            key, sub = jax.random.split(key)
+            state, scalars = step_fn(state, frame, gt1, sub)
+        float(jnp.sum(state.params.gaussians.xyz[:1]))
+        t0 = time.time()
+        for _ in range(iters):
+            key, sub = jax.random.split(key)
+            state, scalars = step_fn(state, frame, gt1, sub)
+        float(jnp.sum(state.params.gaussians.xyz[:1]))
+        dt_s = time.time() - t0
+        its = iters / dt_s
+        print(
+            f"[bench] gauss x tile train {dg}x{dt}: {its:.2f} it/s",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": f"train_iters_per_sec_gauss{dg}xtile{dt}_1600px",
+                    "value": round(its, 3),
+                    "unit": "iters/s",
+                    "vs_baseline": round(its / A100_ITERS_PER_SEC_PROVISIONAL, 3),
+                }
+            )
+        )
     else:
         raise SystemExit(
             f"unknown mesh kind {kind!r} "
-            f"(use data=N, tile=N, tiletrain=N, or gauss=N)"
+            f"(use data=N, tile=N, tiletrain=N, gauss=N, or gausstile=GxT)"
         )
 
 

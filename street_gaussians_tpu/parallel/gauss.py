@@ -284,6 +284,7 @@ def make_gauss_sharded_train_step(
     mesh: Mesh,
     axis: str = "gauss",
     data_axis: Optional[str] = None,
+    tile_axis: Optional[str] = None,
 ):
     """Build the jitted Gaussian-sharded train step.
 
@@ -293,10 +294,24 @@ def make_gauss_sharded_train_step(
     with leading batch dim = mesh.shape[data_axis] — camera-DP composed
     with gauss-sharding (gradients pmean over cameras as in
     parallel/dp.py, rows stay sharded).
+    2D mesh (tile_axis='tile'): gauss x tile composition — rows + Adam
+    state sharded over `axis` (HBM relief at Dg-way), AND each device
+    bins + blends only its band of tile rows of the gathered screen
+    rows (latency relief at Dt-way; the larger-than-HBM scene at low
+    latency, SURVEY.md §2.6). Calibration: every device computes the
+    same full-image loss from band images gathered over `tile`, so we
+    differentiate loss/(Dg*Dt); the tile gather's psum-scatter VJP
+    leaves each band its true pixel cotangent scaled 1/Dg, the gauss
+    gather's VJP then sums the Dg identical band-screen cotangents
+    (cancelling the 1/Dg), so local-row gradients come out as exact
+    per-band contributions — one psum over `tile` reconstructs the
+    exact row gradient; replicated leaves (sky etc.) psum over BOTH
+    axes.
 
     State must be placed by shard_train_state (or at least be divisible
     — shard_map slices). N sharded steps match single-device steps
-    (tests/test_gauss_train.py, tolerances documented there).
+    (tests/test_gauss_train.py, tests/test_gauss_tile_train.py,
+    tolerances documented there).
     """
     import dataclasses as _dc
 
@@ -316,6 +331,21 @@ def make_gauss_sharded_train_step(
         f"(pad the scene capacity)"
     )
     Cl = C // Dg
+    Dt = mesh.shape[tile_axis] if tile_axis is not None else 1
+    if tile_axis is not None and data_axis is not None:
+        raise NotImplementedError(
+            "3D data x gauss x tile training is not wired (pick two axes)"
+        )
+    band_opts = opts
+    if tile_axis is not None:
+        # per-band instance budget (parallel/tiles.py rationale — the
+        # same uniform-spread assumption and watchdog escape hatch)
+        band_opts = dataclasses.replace(
+            opts,
+            instance_capacity=max(
+                (opts.instance_capacity // Dt + 127) // 128 * 128, 1024
+            ),
+        )
     obj_mask = render_object_mask(table) if table.num_models > 1 else None
     if o.get("lambda_scale_flatten", 0.0) > 0 or o.get("lambda_box_reg", 0.0) > 0:
         # these regularizers reduce over ALL rows; under sharding the
@@ -328,28 +358,69 @@ def make_gauss_sharded_train_step(
         )
 
     def loss_fn(params, m2d_off, abs_full, aux, frame_inp, gt, key, step):
+        cam = frame_inp.cam
+        row_shard = None
+        sky_jitter = None
+        if tile_axis is not None:
+            gy = (cam.H + 15) // 16
+            gy_local = -(-gy // Dt)
+            d = jax.lax.axis_index(tile_axis)
+            row_shard = (d * gy_local, gy_local)
+            # full-image sky jitter drawn exactly like the single-device
+            # step (render_frame's internal draw, train mode only),
+            # band-sliced — identical randomness (parallel/tiles.py)
+            if params.sky is not None and band_opts.mode == "train":
+                full = (
+                    jax.random.uniform(
+                        jax.random.fold_in(key, 1), (cam.H, cam.W, 2)
+                    )
+                    - 0.5
+                )
+                full = jnp.pad(
+                    full,
+                    ((0, gy_local * 16 * Dt - cam.H), (0, 0), (0, 0)),
+                )
+                sky_jitter = jax.lax.dynamic_slice_in_dim(
+                    full, d * gy_local * 16, gy_local * 16, axis=0
+                )
         out = _sharded_render(
-            params, aux, table, pose_data, frame_inp, key, opts, axis, step,
-            mean2d_offset=m2d_off, absgrad_dummy=abs_full,
+            params, aux, table, pose_data, frame_inp, key, band_opts, axis,
+            step, mean2d_offset=m2d_off, absgrad_dummy=abs_full,
+            row_shard=row_shard, sky_jitter=sky_jitter,
         )
+
+        def gather_rows(x):
+            g = jax.lax.all_gather(x, tile_axis, axis=0, tiled=True)
+            return g[: cam.H]
+
+        out_full = out
+        if tile_axis is not None:
+            out_full = dict(out)
+            for k in ("rgb", "acc", "depth", "T"):
+                if k in out_full:
+                    out_full[k] = gather_rows(out_full[k])
         out_obj = None
         use_obj_loss = jnp.asarray(1.0)
         if o.lambda_reg > 0 and obj_mask is not None:
             use_obj_loss = (step >= o.densify_until_iter).astype(jnp.float32)
             out_obj = _sharded_render(
-                params, aux, table, pose_data, frame_inp, key, opts, axis,
-                step, include_mask=obj_mask, compose_sky=False,
+                params, aux, table, pose_data, frame_inp, key, band_opts,
+                axis, step, include_mask=obj_mask, compose_sky=False,
+                row_shard=row_shard,
             )
+            if tile_axis is not None:
+                out_obj = {"acc": gather_rows(out_obj["acc"])}
         # aux/table omitted: the row-reducing regularizers they gate are
         # rejected above (local reductions would differ per shard)
         loss, scalars = compute_losses(
-            out, out_obj, gt, params, cfg, frame_inp.cam.image_id, use_obj_loss,
+            out_full, out_obj, gt, params, cfg, frame_inp.cam.image_id,
+            use_obj_loss,
         )
-        scalars["psnr"] = L.psnr(out["rgb"], gt.image, gt.mask)
+        scalars["psnr"] = L.psnr(out_full["rgb"], gt.image, gt.mask)
         ovf = (out["overflow"], out["overflow_instance"], out["overflow_tile"])
-        # differentiate loss/D (see gradient-calibration note above);
+        # differentiate loss/(Dg*Dt) (gradient-calibration notes above);
         # scalars["loss"] stays the true loss
-        return loss / Dg, (scalars, out["radii"], ovf)
+        return loss / (Dg * Dt), (scalars, out["radii"], ovf)
 
     def train_local(state: TrainState, frames_b, gts_b, key):
         if data_axis is not None:
@@ -374,10 +445,24 @@ def make_gauss_sharded_train_step(
         )
         g_params, g_m2d, g_abs_full = grads
 
-        # ---- calibrate (rule table in the module comment above) ----
+        # ---- calibrate (rule table in the module comment above; with
+        # tile_axis, per-row grads/cotangents are exact per-BAND
+        # contributions — one extra psum over `tile` totals them) ----
+        rep_axes = (axis,) + ((tile_axis,) if tile_axis is not None else ())
         g_rest = _dc.replace(g_params, gaussians=None)
-        g_rest = jax.tree.map(lambda g: jax.lax.psum(g, axis), g_rest)
+        g_rest = jax.tree.map(lambda g: jax.lax.psum(g, rep_axes), g_rest)
         g_params = _dc.replace(g_rest, gaussians=g_params.gaussians)
+        if tile_axis is not None:
+            g_params = _dc.replace(
+                g_params,
+                gaussians=jax.tree.map(
+                    lambda g: jax.lax.psum(g, tile_axis), g_params.gaussians
+                ),
+            )
+            g_m2d = jax.lax.psum(g_m2d, tile_axis)
+            g_abs_full = jax.lax.psum(g_abs_full, tile_axis)
+            # band renders zero out-of-band radii (clip_screen_to_rows)
+            radii = jax.lax.pmax(radii, tile_axis)
         g_abs = (
             jax.lax.dynamic_slice_in_dim(g_abs_full, gidx * Cl, Cl, axis=0)
             * Dg
@@ -418,7 +503,9 @@ def make_gauss_sharded_train_step(
         if data_axis is not None:
             scalars = jax.lax.pmean(scalars, data_axis)
         scalars["num_alive"] = jax.lax.psum(jnp.sum(aux.alive), axis)
-        ovf_axes = (data_axis,) if data_axis is not None else ()
+        ovf_axes = ((data_axis,) if data_axis is not None else ()) + (
+            (tile_axis,) if tile_axis is not None else ()
+        )
         for name, v in zip(("overflow", "overflow_instance", "overflow_tile"), ovf):
             scalars[name] = jax.lax.psum(v, ovf_axes) if ovf_axes else v
 

@@ -389,12 +389,6 @@ def training(cfg: Config, progress: bool = True) -> Dict:
     tile_shards = int(cfg.train.get("tile_shards", 0) or 0)
     use_tile = tile_shards > 1
     if use_tile:
-        if use_gauss:
-            raise NotImplementedError(
-                "train.tile_shards and train.gauss_shards cannot be "
-                "combined yet — pick the axis that binds (latency: tile, "
-                "HBM: gauss)"
-            )
         if multihost and n_proc > 1:
             raise NotImplementedError(
                 "train.tile_shards across processes is not wired — tile "
@@ -402,11 +396,22 @@ def training(cfg: Config, progress: bool = True) -> Dict:
                 "ICI; use camera-DP (train.multihost) across hosts and "
                 "tile-sharding within one host"
             )
-        need = tile_shards * (batch_size if batch_size > 1 else 1)
+        if use_gauss:
+            # gauss x tile composition on one host (parallel/gauss.py
+            # make_gauss_sharded_train_step(tile_axis=...)): rows + Adam
+            # sharded Dg-way, each camera's blend split Dt-way
+            if batch_size > 1:
+                raise NotImplementedError(
+                    "3D data x gauss x tile training is not wired — drop "
+                    "batch_size or one shard axis"
+                )
+            need = gauss_shards * tile_shards
+        else:
+            need = tile_shards * (batch_size if batch_size > 1 else 1)
         if need > len(jax.devices()):
             raise RuntimeError(
-                f"train.tile_shards={tile_shards} x batch_size="
-                f"{batch_size} needs {need} devices, have {len(jax.devices())}"
+                f"train.tile_shards={tile_shards} needs {need} devices "
+                f"(with gauss_shards/batch_size), have {len(jax.devices())}"
             )
     if use_gauss:
         if multihost and n_proc > 1:
@@ -458,7 +463,7 @@ def training(cfg: Config, progress: bool = True) -> Dict:
     batched = use_dp or ((use_gauss or use_tile) and batch_size > 1)
     gmesh = None
     tmesh = None
-    if use_tile:
+    if use_tile and not use_gauss:
         from jax.sharding import Mesh as _Mesh
 
         from street_gaussians_tpu.parallel.tiles import (
@@ -499,7 +504,16 @@ def training(cfg: Config, progress: bool = True) -> Dict:
                     sel.append(d)
             return sel
 
-        if batch_size > 1:
+        if use_tile:
+            devs = np.array(jax.devices()[: gauss_shards * tile_shards])
+            gmesh = _Mesh(
+                devs.reshape(gauss_shards, tile_shards), ("gauss", "tile")
+            )
+            print(
+                f"[gauss x tile] sharded training: {gauss_shards} row "
+                f"shards x {tile_shards} tile bands (2D mesh)"
+            )
+        elif batch_size > 1:
             if multihost and n_proc > 1:
                 # host-major selection: each host contributes
                 # (batch/n_proc) data rows x gauss_shards devices, so a
@@ -623,6 +637,7 @@ def training(cfg: Config, progress: bool = True) -> Dict:
             fns["gauss_step"] = make_gauss_sharded_train_step(
                 cfg, scene.table, scene.pose_data, opts, gmesh,
                 data_axis="data" if batch_size > 1 else None,
+                tile_axis="tile" if use_tile else None,
             )
         elif use_tile:
             fns["tile_step"] = make_tile_sharded_train_step(
@@ -643,7 +658,7 @@ def training(cfg: Config, progress: bool = True) -> Dict:
     step_fn = train_fns.get("step")
     if use_gauss:
         gauss_step_fn = train_fns["gauss_step"]
-    if use_tile:
+    if use_tile and not use_gauss:
         tile_step_fn = train_fns["tile_step"]
     if use_dp:
         dp_step_fn = train_fns["dp_step"]
@@ -873,7 +888,7 @@ def training(cfg: Config, progress: bool = True) -> Dict:
                         step_fn = train_fns.get("step")
                         if use_gauss:
                             gauss_step_fn = train_fns["gauss_step"]
-                        if use_tile:
+                        if use_tile and not use_gauss:
                             tile_step_fn = train_fns["tile_step"]
                         if use_dp:
                             dp_step_fn = train_fns["dp_step"]

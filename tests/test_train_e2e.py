@@ -544,6 +544,51 @@ def test_training_loop_tile_sharded(tmp_path):
     assert os.path.isdir(os.path.join(cfg.trained_model_dir, "iteration_24"))
 
 
+def test_training_loop_gauss_tile_sharded(tmp_path):
+    """The runner's composed gauss x tile branch end-to-end:
+    train.gauss_shards=2 x train.tile_shards=2 (('gauss','tile') mesh)
+    — rows + Adam sharded 2-way, every blend split over 2 tile bands —
+    survives a densify round and improves PSNR (VERDICT r4 item 4)."""
+    root = str(tmp_path / "seq")
+    write_synthetic_waymo(root, num_frames=4, cameras=(0,))
+
+    cfg = load_config()
+    cfg.source_path = root
+    cfg.model_path = str(tmp_path / "out")
+    cfg.trained_model_dir = os.path.join(cfg.model_path, "trained_model")
+    cfg.point_cloud_dir = os.path.join(cfg.model_path, "point_cloud")
+    cfg.record_dir = os.path.join(cfg.model_path, "record")
+    cfg.mode = "train"
+    cfg.data.type = "Waymo"
+    cfg.data.split_train = 1
+    cfg.data.split_test = -1
+    cfg.data.cameras = [0]
+    cfg.model.nsg.include_sky = False
+    cfg.optim.densify_from_iter = 4
+    cfg.optim.densify_until_iter = 10
+    cfg.optim.densification_interval = 4
+    cfg.optim.opacity_reset_interval = 10 ** 6
+    cfg.train.iterations = 24
+    cfg.train.gauss_shards = 2
+    cfg.train.tile_shards = 2
+    cfg.train.test_iterations = [20]
+    cfg.train.save_iterations = []
+    cfg.train.checkpoint_iterations = [24]
+    cfg.render.tile_capacity = 128
+    cfg.render.instance_capacity = 2048
+
+    from street_gaussians_tpu.runner import training
+
+    training(cfg, progress=False)
+    log_path = os.path.join(cfg.record_dir, "train_log.jsonl")
+    records = [json.loads(l) for l in open(log_path)]
+    losses = [r["loss"] for r in records if "loss" in r]
+    assert losses and all(np.isfinite(l) for l in losses)
+    psnrs = [r["psnr"] for r in records if "psnr" in r]
+    assert psnrs[-1] > psnrs[0]
+    assert os.path.isdir(os.path.join(cfg.trained_model_dir, "iteration_24"))
+
+
 def test_training_loop_tile_sharded_with_dp_batch(tmp_path):
     """tile_shards=2 composed with batch_size=2 (('data','tile') mesh)
     through the runner, with a starved instance capacity so the watchdog
