@@ -1050,6 +1050,75 @@ def render_sets(cfg: Config, state=None, scene=None) -> Dict:
         state = restored
         print(f"[render] loaded iteration {it}")
 
+    # ---- serve-time opacity pruning (default OFF — serving is exact):
+    # `render.serve_prune_opacity: T` clears the alive bit of gaussians
+    # with opacity < T; every instance-scale stage (binning sorts, fill,
+    # payload gather, blend steps) shrinks with the instance list.
+    # 'auto' probes candidate thresholds against the EXACT render on
+    # probe views and keeps the largest whose max |d rgb| stays within
+    # `render.serve_prune_tol` (default 1/255) — a MEASURED bound (the
+    # analytic per-gaussian bound weight <= opacity is not additive
+    # across thousands of weak splats, so we measure instead of prove).
+    sp = cfg.render.get("serve_prune_opacity", 0) or 0
+    if sp:
+        import dataclasses as _dc
+
+        op = np.asarray(
+            jax.nn.sigmoid(state.params.gaussians.opacity_logit[:, 0])
+        )
+        alive0 = np.asarray(state.aux.alive)
+
+        def pruned_state(th):
+            keep = jnp.asarray(alive0 & (op >= th))
+            return _dc.replace(
+                state, aux=_dc.replace(state.aux, alive=keep)
+            )
+
+        if str(sp) == "auto":
+            tol = float(cfg.render.get("serve_prune_tol", 1.0 / 255.0))
+            probe_r = make_eval_render(cfg, scene)
+            pviews = (scene.test_views + scene.train_views)[:3]
+            exact = [
+                np.asarray(
+                    probe_r(state.params, state.aux, v.frame_input)["rgb"]
+                )
+                for v in pviews
+            ]
+            chosen = 0.0
+            for th in (1 / 255, 2 / 255, 3 / 255, 5 / 255, 8 / 255):
+                st = pruned_state(th)
+                err = max(
+                    float(
+                        np.abs(
+                            np.asarray(
+                                probe_r(st.params, st.aux, v.frame_input)[
+                                    "rgb"
+                                ]
+                            )
+                            - exact[i]
+                        ).max()
+                    )
+                    for i, v in enumerate(pviews)
+                )
+                if err <= tol:
+                    chosen = th
+                else:
+                    break
+            sp = chosen
+            print(
+                f"[render] serve_prune_opacity auto -> {sp:.4f} "
+                f"(max probe err <= {tol:.4f})"
+            )
+        sp = float(sp)
+        if sp > 0:
+            st = pruned_state(sp)
+            n0, n1 = int(alive0.sum()), int(np.asarray(st.aux.alive).sum())
+            print(
+                f"[render] serve-time prune: opacity < {sp:.4f} drops "
+                f"{n0 - n1} of {n0} gaussians"
+            )
+            state = st
+
     # ---- serving-path capacity auto-sizing: the configured (training)
     # instance_capacity is a worst-case bound; every binning sort/
     # scatter/gather scales with it. Probe the scene's actual instance

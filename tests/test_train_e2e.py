@@ -119,6 +119,59 @@ def test_render_sets_from_checkpoint(tmp_path):
     assert "train" in results and np.isfinite(results["train"]["psnr"])
 
 
+def test_render_sets_serve_prune(tmp_path):
+    """Serve-time opacity pruning: 'auto' picks a measured-error-bounded
+    threshold (or 0 when any candidate breaks the tolerance) and an
+    explicit threshold drops low-opacity gaussians; renders stay finite
+    and within the documented bound of the exact render."""
+    root = str(tmp_path / "seq")
+    write_synthetic_waymo(root, num_frames=3, cameras=(0,))
+    cfg = load_config()
+    cfg.source_path = root
+    cfg.model_path = str(tmp_path / "out")
+    cfg.trained_model_dir = os.path.join(cfg.model_path, "trained_model")
+    cfg.point_cloud_dir = os.path.join(cfg.model_path, "point_cloud")
+    cfg.record_dir = os.path.join(cfg.model_path, "record")
+    cfg.data.type = "Waymo"
+    cfg.data.split_train = 1
+    cfg.data.cameras = [0]
+    cfg.optim.densify_until_iter = 0
+    cfg.train.iterations = 3
+    cfg.train.test_iterations = []
+    cfg.train.save_iterations = [3]
+    cfg.train.checkpoint_iterations = [3]
+    cfg.render.tile_capacity = 128
+    cfg.render.instance_capacity = 2 ** 14
+
+    from street_gaussians_tpu.runner import render_sets, training
+
+    training(cfg, progress=False)
+    cfg.mode = "evaluate"
+    cfg.eval.skip_test = True
+
+    # exact baseline
+    import cv2
+
+    out0 = render_sets(cfg)
+    exact = {
+        f: cv2.imread(os.path.join(cfg.model_path, "train_renders", f))
+        for f in os.listdir(os.path.join(cfg.model_path, "train_renders"))
+    }
+
+    cfg.render.serve_prune_opacity = "auto"
+    out1 = render_sets(cfg)
+    assert out1.get("fps", 0) > 0
+    for f, img in exact.items():
+        got = cv2.imread(os.path.join(cfg.model_path, "train_renders", f))
+        # measured bound: auto tolerance is 1/255 on probe views; allow
+        # small slack on non-probe views + png quantization
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 3, f
+
+    cfg.render.serve_prune_opacity = 0.5  # aggressive explicit threshold
+    out2 = render_sets(cfg)
+    assert out2.get("fps", 0) > 0
+
+
 def test_render_trajectory_from_checkpoint(tmp_path):
     """`render.py mode trajectory` analog (runner.render_trajectory, ref:
     render.py:62-85): per-channel pngs + videos land on disk and the
