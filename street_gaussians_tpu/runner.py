@@ -181,11 +181,41 @@ def make_eval_render(cfg: Config, scene: Scene, include_mask=None):
     par = str(cfg.render.get("parallel", "") or "")
     if par:
         kind, _, n = par.partition("=")
+        if kind == "gausstile":
+            # composed serving: rows sharded over 'gauss', each render's
+            # band split over 'tile' (make_gauss_sharded_render already
+            # supports tile_axis; 'gausstile=GxT', e.g. 2x4)
+            from jax.sharding import Mesh as _Mesh
+
+            from street_gaussians_tpu.parallel.gauss import (
+                make_gauss_sharded_render,
+            )
+
+            dg, _, dt = n.partition("x")
+            dg, dt = int(dg), int(dt or 2)
+            if dg * dt > len(jax.devices()):
+                raise ValueError(
+                    f"render.parallel={par!r} needs {dg * dt} devices, "
+                    f"have {len(jax.devices())}"
+                )
+            mesh = _Mesh(
+                np.array(jax.devices()[: dg * dt]).reshape(dg, dt),
+                ("gauss", "tile"),
+            )
+            inner = make_gauss_sharded_render(
+                scene.table, scene.pose_data, opts, mesh,
+                tile_axis="tile", include_mask=include_mask,
+            )
+            print(
+                f"[render] gauss x tile sharded rendering over "
+                f"{dg}x{dt} devices"
+            )
+            return inner
         n = min(int(n or len(jax.devices())), len(jax.devices()))
         if kind not in ("tile", "gauss"):
             raise ValueError(
                 f"render.parallel={par!r}: unknown kind {kind!r} "
-                "(expected 'tile=N' or 'gauss=N')"
+                "(expected 'tile=N', 'gauss=N', or 'gausstile=GxT')"
             )
         if n > 1:
             if kind == "tile":

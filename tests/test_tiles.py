@@ -172,5 +172,14 @@ def test_render_parallel_config_path(tmp_path):
         np.testing.assert_allclose(
             np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=1e-5, rtol=1e-5
         )
+        # composed serving path (rows sharded x tile bands)
+        if scene.table.capacity % 2 == 0:
+            cfg.render.parallel = "gausstile=2x2"
+            composed = make_eval_render(cfg, scene)
+            c = composed(params, scene.aux_init, f)
+            np.testing.assert_allclose(
+                np.asarray(a["rgb"]), np.asarray(c["rgb"]),
+                atol=1e-5, rtol=1e-5,
+            )
     finally:
         waymo_mod.IMAGE_HEIGHTS, waymo_mod.IMAGE_WIDTHS = old_h, old_w
