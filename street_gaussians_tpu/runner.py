@@ -1215,6 +1215,11 @@ def render_sets(cfg: Config, state=None, scene=None) -> Dict:
                 )
                 cfg.render.instance_capacity = tight
                 eval_render = make_eval_render(cfg, scene)
+    # optional profiler trace of the serving loop (SURVEY §5 tracing
+    # hook; `render.trace_dir: DIR` — view with tensorboard/xprof)
+    trace_dir = cfg.render.get("trace_dir", None)
+    if trace_dir:
+        jax.profiler.start_trace(str(trace_dir))
     times = []
     out = {}
     for split, views, skip in (
@@ -1265,6 +1270,9 @@ def render_sets(cfg: Config, state=None, scene=None) -> Dict:
                     os.path.join(split_dir, f"{view.image_name}_rgb.png"),
                     img[..., ::-1],
                 )
+    if trace_dir:
+        jax.profiler.stop_trace()
+        print(f"[render] profiler trace written to {trace_dir}")
     if times:
         mean_ms = 1000.0 * sum(times) / len(times)
         print(f"average rendering time: {mean_ms:.2f} ms ({1000.0/mean_ms:.2f} FPS)")
