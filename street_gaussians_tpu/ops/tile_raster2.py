@@ -205,8 +205,19 @@ def _tile_nblocks(tile_start, tile_count):
 
 def _flatten_steps(tile_start, tile_count, num_tiles, num_blocks, trash,
                    interpret=False):
-    """Per-step tables for the flattened grid (all traced int32 [MAXC]):
-    tile id, global payload-block index, block-in-tile, last-step flag."""
+    """Per-step tables for the flattened grid, PACKED into two int32
+    words per step (the scalar-prefetch tables live in SMEM, whose 1 MB
+    budget bounds the grid size — five unpacked tables overflowed it at
+    instance_capacity 2^23, the watchdog's default ceiling):
+
+      w1: bits 0-16 global payload-block index (blk), bit 17
+          write-first flag, bit 18 last-step flag;
+      w2: bits 0-16 block-in-tile index (i), bits 17+ tile id.
+
+    Static limits (checked by the callers): payload blocks < 2^17
+    (~16.7M instances) and tiles < 2^14 (any <=1600px-wide image up to
+    ~2600 px tall — the reference caps width at 1600,
+    camera_utils.py:140)."""
     from street_gaussians_tpu.ops import fill as fill_lib
 
     MAXC = _max_steps(num_blocks, num_tiles)
@@ -276,7 +287,9 @@ def _flatten_steps(tile_start, tile_count, num_tiles, num_blocks, trash,
     last_of_step = (
         i_of_step == jnp.maximum(nblocks_of_step, 1) - 1
     ).astype(jnp.int32)
-    return tile_of_step, blk_mono, i_of_step, last_of_step, write_first
+    w1 = blk_mono | (write_first << 17) | (last_of_step << 18)
+    w2 = i_of_step | (tile_of_step << 17)
+    return w1, w2
 
 
 # --------------------------------------------------------------------------
@@ -284,12 +297,27 @@ def _flatten_steps(tile_start, tile_count, num_tiles, num_blocks, trash,
 # --------------------------------------------------------------------------
 
 
+def _check_pack_limits(nb_total: int, num_tiles: int) -> None:
+    """Static limits of the packed step tables (SMEM budget fix): blk
+    ids use 17 bits, tile ids the remaining 14. Both bounds are far
+    beyond the watchdog's default instance ceiling (2^23 instances ->
+    ~66k blocks) and the reference's 1600px-wide images."""
+    if nb_total > 2 ** 17:
+        raise ValueError(
+            f"{nb_total} payload blocks exceeds the packed step-table "
+            "limit 2^17 (~16.7M instances); lower instance_capacity or "
+            "shard the tile axis (parallel/tiles.py)"
+        )
+    if num_tiles >= 2 ** 14:
+        raise ValueError(
+            f"{num_tiles} tiles exceeds the packed step-table limit "
+            "2^14; shard the tile axis (parallel/tiles.py)"
+        )
+
+
 def _fwd_kernel(
-    ts_ref,
-    blk_idx_ref,
-    io_ref,
-    last_ref,
-    wf_ref,
+    w1_ref,
+    w2_ref,
     start_ref,
     cnt_ref,
     blk_ref,
@@ -304,8 +332,10 @@ def _fwd_kernel(
 ):
     F = num_features
     s = pl.program_id(0)
-    t = ts_ref[s]
-    i = io_ref[s]
+    t = w2_ref[s] >> 17
+    i = w2_ref[s] & 0x1FFFF
+    blk_idx = w1_ref[s] & 0x1FFFF
+    last = (w1_ref[s] >> 18) & 1
     start = start_ref[t]
     cnt = cnt_ref[t]
     nblocks = jnp.where(cnt > 0, (start % CHUNK + cnt + CHUNK - 1) // CHUNK, 0)
@@ -322,7 +352,7 @@ def _fwd_kernel(
         logT = logT_s[...]
         done = done_s[...]
         a, om, logs, cums_incl, _ = _block_alpha(
-            blk_ref, px, py, done, _slot_valid(blk_idx_ref[s], start, cnt),
+            blk_ref, px, py, done, _slot_valid(blk_idx, start, cnt),
             interpret=interpret,
         )
         trigger, blend = _blend_masks_log(a, cums_incl, logT)
@@ -341,7 +371,7 @@ def _fwd_kernel(
             done, jnp.max(trigger.astype(jnp.float32), axis=1, keepdims=True)
         )
 
-    @pl.when(last_ref[s] == 1)
+    @pl.when(last == 1)
     def _():
         out_ref[0, :, 0:F] = accum_s[...]
         out_ref[0, :, F : F + 1] = jnp.exp(logT_s[...])
@@ -353,11 +383,8 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    ts_ref,
-    blk_idx_ref,
-    io_ref,
-    last_ref,
-    wf_ref,
+    w1_ref,
+    w2_ref,
     start_ref,
     cnt_ref,
     blk_ref,
@@ -374,8 +401,10 @@ def _bwd_kernel(
 ):
     F = num_features
     s = pl.program_id(0)
-    t = ts_ref[s]
-    i = io_ref[s]
+    t = w2_ref[s] >> 17
+    i = w2_ref[s] & 0x1FFFF
+    blk_idx = w1_ref[s] & 0x1FFFF
+    wf = (w1_ref[s] >> 17) & 1
     start = start_ref[t]
     cnt = cnt_ref[t]
     nblocks = jnp.where(cnt > 0, (start % CHUNK + cnt + CHUNK - 1) // CHUNK, 0)
@@ -394,7 +423,7 @@ def _bwd_kernel(
     # walks the same blocks so `nblocks` stays aligned.
     alldone = jnp.min(done_s[...]) > 0.0
 
-    @pl.when((i < nblocks) & alldone & (wf_ref[s] == 1))
+    @pl.when((i < nblocks) & alldone & (wf == 1))
     def _():
         dblk_ref[0] = jnp.zeros(dblk_ref.shape[1:], jnp.float32)
 
@@ -411,7 +440,7 @@ def _bwd_kernel(
         logT = logT_s[...]
         done = done_s[...]
         a, om, logs, cums_incl, extras = _block_alpha(
-            blk_ref, px, py, done, _slot_valid(blk_idx_ref[s], start, cnt),
+            blk_ref, px, py, done, _slot_valid(blk_idx, start, cnt),
             interpret=interpret,
         )
         dx, dy, ca, cb, cc, apow, alpha_raw = extras
@@ -465,11 +494,11 @@ def _bwd_kernel(
 
         # ragged boundary blocks are shared between adjacent tiles:
         # first writer sets, later writers accumulate
-        @pl.when(wf_ref[s] == 1)
+        @pl.when(wf == 1)
         def _():
             dblk_ref[0] = new_rows
 
-        @pl.when(wf_ref[s] == 0)
+        @pl.when(wf == 0)
         def _():
             dblk_ref[0] = dblk_ref[0] + new_rows
 
@@ -491,27 +520,28 @@ def _fwd_call(payload, tile_start, tile_count, num_features, grid_x, num_tiles,
     nb_total, c_pad, _ = payload.shape  # includes the +1 trash block
     F = num_features
     trash = nb_total - 1
-    ts, blks, ios, lasts, wfs = tables if tables is not None else _flatten_steps(
+    _check_pack_limits(nb_total, num_tiles)
+    w1, w2 = tables if tables is not None else _flatten_steps(
         tile_start, tile_count, num_tiles, nb_total - 1, trash,
         interpret=interpret,
     )
-    MAXC = ts.shape[0]
+    MAXC = w1.shape[0]
     kernel = functools.partial(
         _fwd_kernel, num_features=F, grid_x=grid_x, interpret=interpret
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=4,
         grid=(MAXC,),
         in_specs=[
             pl.BlockSpec(
                 (1, c_pad, CHUNK),
-                lambda s, ts_, blk_, io_, la_, wf_, st_, cnt_: (blk_[s], 0, 0),
+                lambda s, w1_, w2_, st_, cnt_: (w1_[s] & 0x1FFFF, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, PIX, F + 1),
-            lambda s, ts_, blk_, io_, la_, wf_, st_, cnt_: (ts_[s], 0, 0),
+            lambda s, w1_, w2_, st_, cnt_: (w2_[s] >> 17, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -525,7 +555,7 @@ def _fwd_call(payload, tile_start, tile_count, num_features, grid_x, num_tiles,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, F + 1), jnp.float32),
         interpret=interpret,
-    )(ts, blks, ios, lasts, wfs, tile_start, tile_count, payload)
+    )(w1, w2, tile_start, tile_count, payload)
 
 
 def _bwd_call(payload, tile_start, tile_count, out_res, gout, num_features,
@@ -533,37 +563,38 @@ def _bwd_call(payload, tile_start, tile_count, out_res, gout, num_features,
     nb_total, c_pad, _ = payload.shape
     F = num_features
     trash = nb_total - 1
-    ts, blks, ios, lasts, wfs = tables if tables is not None else _flatten_steps(
+    _check_pack_limits(nb_total, num_tiles)
+    w1, w2 = tables if tables is not None else _flatten_steps(
         tile_start, tile_count, num_tiles, nb_total - 1, trash,
         interpret=interpret,
     )
-    MAXC = ts.shape[0]
+    MAXC = w1.shape[0]
     kernel = functools.partial(
         _bwd_kernel, num_features=F, grid_x=grid_x, interpret=interpret
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=4,
         grid=(MAXC,),
         in_specs=[
             pl.BlockSpec(
                 (1, c_pad, CHUNK),
-                lambda s, ts_, blk_, io_, la_, wf_, st_, cnt_: (blk_[s], 0, 0),
+                lambda s, w1_, w2_, st_, cnt_: (w1_[s] & 0x1FFFF, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, PIX, F + 1),
-                lambda s, ts_, blk_, io_, la_, wf_, st_, cnt_: (ts_[s], 0, 0),
+                lambda s, w1_, w2_, st_, cnt_: (w2_[s] >> 17, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, PIX, F + 1),
-                lambda s, ts_, blk_, io_, la_, wf_, st_, cnt_: (ts_[s], 0, 0),
+                lambda s, w1_, w2_, st_, cnt_: (w2_[s] >> 17, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, c_pad, CHUNK),
-            lambda s, ts_, blk_, io_, la_, wf_, st_, cnt_: (blk_[s], 0, 0),
+            lambda s, w1_, w2_, st_, cnt_: (w1_[s] & 0x1FFFF, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -577,7 +608,7 @@ def _bwd_call(payload, tile_start, tile_count, out_res, gout, num_features,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb_total, c_pad, CHUNK), jnp.float32),
         interpret=interpret,
-    )(ts, blks, ios, lasts, wfs, tile_start, tile_count, payload, out_res, gout)
+    )(w1, w2, tile_start, tile_count, payload, out_res, gout)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
