@@ -42,70 +42,87 @@ GATHER_NS_PER_ROW = 6.5
 SCATTER_S_PER_CHANNEL = 1.2e-3 / 660_000
 SORT_NS_PER_ROW_OPERAND = 2.2
 
-# Per-op analytic model: (bytes_hbm, mxu_flops, vpu_ops, gather_rows,
-# scatter_positions, sort_row_operands, note)
+# Per-op engine model. Engines: hbm bytes, mxu MACs*2, vpu elementwise
+# ops, gather descriptors (measured ~6.5 ns/row), grid steps (measured
+# Pallas flattened-grid floor ~0.6 us/step, journal wave 2), sort rows
+# (lax.sort internals are opaque below XLA; modeled from the measured
+# r2/r4 points: ~4.3 ns/row + ~0.45 ns/row per extra operand).
+STEP_US = 0.6
+SORT_NS_BASE = 4.3
+SORT_NS_EXTRA = 0.45
+
 OPS = {
     "blend_fwd": dict(
-        # payload blocks in + rgb/acc/depth/T out; 2 two-pass prefix
-        # matmuls [PIXB,CHUNK]@[CHUNK,CHUNK] + feature matmul per step;
-        # ~40 VPU ops per (pixel, instance) for alpha/exp/masks
-        bytes=STEPS * (CHUNK * 64) + PIX * 6 * 4,
-        mxu=STEPS * (2 * PIXB * CHUNK * CHUNK * 2 + PIXB * CHUNK * 8 * 2),
+        bytes=STEPS * (CHUNK * 64) + TILES * PIXB * 5 * 4,
+        mxu=STEPS * (2 * PIXB * CHUNK * CHUNK + PIXB * CHUNK * 8) * 2,
         vpu=STEPS * PIXB * CHUNK * 40,
-        note="MXU prefix products dominate (journal wave 2/7)",
+        grid_steps=STEPS,
+        note="grid-step floor dominates: single-pass-prefix experiment "
+        "(r5) measured it/s-NEUTRAL, so the MXU passes are hidden "
+        "behind step machinery + VPU",
     ),
     "blend_bwd": dict(
-        bytes=STEPS * (CHUNK * 64 + CHUNK * 64) + PIX * 6 * 4,
-        mxu=STEPS * (3 * PIXB * CHUNK * CHUNK * 2 + 2 * PIXB * CHUNK * 8 * 2),
+        bytes=STEPS * (CHUNK * 64 * 2) + 2 * TILES * PIXB * 5 * 4,
+        mxu=STEPS * (3 * PIXB * CHUNK * CHUNK + 3 * PIXB * CHUNK * 8) * 2,
         vpu=STEPS * PIXB * CHUNK * 60,
-        note="suffix accumulators + AbsGS rows; single-pass bf16 prefix",
+        grid_steps=STEPS,
+        note="suffix accumulator + 9 gradient-row reductions per step; "
+        "1.34 us/step vs fwd 0.81 — the extra is real VPU/MXU work",
     ),
     "payload_gather": dict(
         bytes=2 * S * 64,
         gather_rows=S,
-        note="descriptor-rate bound: ~6.5 ns/row regardless of width",
+        note="row-gather of [S, 16] payload by sorted inst_gauss",
     ),
-    "payload_grad_segsum": dict(
-        bytes=2 * S * 64,
-        mxu=S * CHUNK * 16 * 2,  # banded 0/1 matmul blocks
-        note="ops/segsum.py banded matmul (round-2 item 1)",
+    "payload_grad_sort": dict(
+        sort_rows=S, sort_operands=5,
+        bytes=8 * S * 20,
+        note="bwd cotangent rows sorted by gaussian id "
+        "(key + 4 bf16-pair-packed words)",
     ),
     "instance_tile_sort": dict(
-        bytes=6 * S * 8,  # multi-pass radix r/w of key+value
-        sort_row_operands=S * 2,
-        note="lax.sort key+1 value at S rows",
+        sort_rows=S, sort_operands=3,
+        bytes=8 * S * 12,
+        note="LSD tile pass of the (depth, tile) radix (binning.py:396)",
+    ),
+    "gauss_depth_sort": dict(
+        sort_rows=C, sort_operands=5,
+        bytes=8 * C * 20,
+        note="N-scale gaussian depth sort (binning.py:310)",
     ),
     "sky_bwd_sort": dict(
-        bytes=6 * SKY_ROWS * 28,
-        sort_row_operands=SKY_ROWS * 7,
-        note="1.7M rows x (key + 6 packed bf16-pair words)",
+        sort_rows=SKY_ROWS, sort_operands=5,
+        bytes=8 * SKY_ROWS * 20,
+        note="1.7M tap rows keyed by base texel",
     ),
-    "sky_fwd_gather": dict(
-        bytes=2 * SKY_ROWS * 264,  # [T/16, 102-lane] window rows
-        gather_rows=SKY_ROWS // 16,
-        note="window-table rows, 16 pixels share a row (stride 16)",
+    "sky_bwd_segsum": dict(
+        bytes=2 * 4 * 6_293_504 * 12 * 4 // 8,
+        mxu=6_293_504 * CHUNK * 12 * 2,
+        note="[12, 6.29M] banded segment-sum (ops/segsum.py)",
+    ),
+    "sky_fwd_concat": dict(
+        bytes=2 * 393_216 * 102 * 4,
+        note="window-table build [393k, 102] (sky_cubemap.py:68)",
+    ),
+    "sky_fwd_relayout": dict(
+        bytes=2 * PIX * 102 * 4,
+        note="[H, W, 102] gathered-row relayout copy "
+        "(sky_cubemap.py:82) — 695 MB intermediate",
     ),
     "fill_expand": dict(
-        # MXU run-expansion: mask build (2 iota compares over
-        # [GOUT=512, CAP=256]) + select matmul [Cc,256]@[256,512]/step
-        bytes=2 * S * 4 * 6,
+        bytes=2 * S * 4 * 5,
         mxu=(S // 512 + C // 256) * 6 * 256 * 512 * 2,
         vpu=(S // 512 + C // 256) * 2 * 512 * 256,
-        note="ops/fill.py banded select-matmul (r4)",
+        note="MXU run-expansion (ops/fill.py)",
+    ),
+    "detile_copies": dict(
+        bytes=4 * TILES * PIXB * 5 * 4,
+        note="tile->image layout copies fwd+bwd (rasterize.py:263-264)",
     ),
     "ssim": dict(
         bytes=20 * PIX * 3 * 4,
-        mxu=2 * PIX * 3 * 11 * 2 * 2,  # separable banded matmuls fwd+bwd
-        note="banded [.,W]@[W,W] blur matmuls (round-2 item 10)",
-    ),
-    "adam": dict(
-        bytes=3 * 3 * C * 260,  # params + mu + nu r/w at ~260 B/row
-        note="pure HBM traffic",
-    ),
-    "preprocess": dict(
-        bytes=4 * C * 100,
-        vpu=C * 400,
-        note="scalarized per-gaussian math (journal lesson 2)",
+        mxu=4 * PIX * 3 * 11 * 2,
+        note="separable banded blur matmuls fwd+bwd",
     ),
 }
 
@@ -128,10 +145,11 @@ def analyze(measured_ms: dict):
                 fracs["gather_descr"] = (
                     m["gather_rows"] * GATHER_NS_PER_ROW / 1e9 / t
                 )
-            if m.get("sort_row_operands"):
-                fracs["sort_engine"] = (
-                    m["sort_row_operands"] * SORT_NS_PER_ROW_OPERAND / 1e9 / t
-                )
+            if m.get("grid_steps"):
+                fracs["grid_steps"] = m["grid_steps"] * STEP_US / 1e6 / t
+            if m.get("sort_rows"):
+                ns = SORT_NS_BASE + SORT_NS_EXTRA * (m.get("sort_operands", 1) - 1)
+                fracs["sort_engine"] = m["sort_rows"] * ns / 1e9 / t
             row["fractions"] = {k: round(v, 3) for k, v in fracs.items()}
             best = max(fracs.values()) if fracs else 0.0
             row["roofline_frac"] = round(best, 3)
@@ -152,9 +170,23 @@ def main():
     if args.measured:
         measured = json.load(open(args.measured))
     else:
-        # filled from the round-5 trace (bench.py --trace; see
-        # docs/perf_journal.md round 5)
-        measured = {}
+        # round-5 trace (bench.py --trace /tmp/trace_r5, 20 iters,
+        # device step 128.5 ms; attribution via script/trace_summary.py)
+        measured = {
+            "blend_bwd": 21.94,
+            "blend_fwd": 13.30,
+            "payload_gather": 9.71,
+            "payload_grad_sort": 6.46,
+            "instance_tile_sort": 2.65,
+            "sky_bwd_sort": 5.55,
+            "sky_bwd_segsum": 4.33,
+            "sky_fwd_concat": 3.57,
+            "sky_fwd_relayout": 2.44,
+            "fill_expand": 3.49,
+            "gauss_depth_sort": 2.07,
+            "detile_copies": 3.74,
+            "ssim": 2.60,
+        }
     for row in analyze(measured):
         print(json.dumps(row))
 

@@ -190,10 +190,16 @@ def test_flatten_steps_first_real_step_writes():
     tile_start = jnp.array([0, 0, 0, 0, 0, 200], jnp.int32)
     tile_count = jnp.array([0, 0, 0, 0, 200, 30], jnp.int32)
     nb = (230 + R2.CHUNK - 1) // R2.CHUNK  # real payload blocks
-    ts, blks, ios, lasts, wfs = R2._flatten_steps(
+    w1, w2 = R2._flatten_steps(
         tile_start, tile_count, num_tiles, nb, nb, interpret=True
     )
-    ts, blks, ios, lasts, wfs = map(np.asarray, (ts, blks, ios, lasts, wfs))
+    # unpack the SMEM-packed words (tile_raster2._flatten_steps layout)
+    w1, w2 = np.asarray(w1), np.asarray(w2)
+    blks = w1 & 0x1FFFF
+    wfs = (w1 >> 17) & 1
+    lasts = (w1 >> 18) & 1
+    ios = w2 & 0x1FFFF
+    ts = w2 >> 17
     nblocks = np.asarray(
         R2._tile_nblocks(tile_start, tile_count), dtype=np.int64
     )
