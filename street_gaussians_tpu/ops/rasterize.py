@@ -24,6 +24,10 @@ from street_gaussians_tpu.ops import tile_raster
 from street_gaussians_tpu.ops.preprocess import TILE, GaussianScreenData
 from street_gaussians_tpu.ops.tile_raster import payload_rows, tile_blend
 
+# probe switch (script/probe_tunables.py): per-channel 2-D de-tiles vs
+# the single 5-D tile->image transpose
+DETILE_CHANNEL_SPLIT = False
+
 
 @dataclasses.dataclass(frozen=True)
 class RasterizeConfig:
@@ -258,12 +262,25 @@ def rasterize(
             payload, bins.tile_count, F, grid_x, config.interpret
         )  # [T, 256, F+1]
 
-    # ---- image assembly ----
-    img = (
-        out.reshape(grid_y, grid_x, TILE, TILE, F + 1)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(grid_y * TILE, grid_x * TILE, F + 1)[:H, :W]
-    )
+    # ---- image assembly (tile-major [T, 256, F+1] -> [H, W, F+1]) ----
+    if DETILE_CHANNEL_SPLIT:
+        # per-channel 2-D de-tiles instead of one 5-D transpose (probe
+        # variant: the 5-D transpose lowered to two ~1.9 ms layout
+        # copies at bench scale, 4.5% of HBM roofline)
+        planes = [
+            out[:, :, c]
+            .reshape(grid_y, grid_x, TILE, TILE)
+            .transpose(0, 2, 1, 3)
+            .reshape(grid_y * TILE, grid_x * TILE)[:H, :W]
+            for c in range(F + 1)
+        ]
+        img = jnp.stack(planes, axis=-1)
+    else:
+        img = (
+            out.reshape(grid_y, grid_x, TILE, TILE, F + 1)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(grid_y * TILE, grid_x * TILE, F + 1)[:H, :W]
+        )
     accum = img[..., :F]
     T = img[..., F]
 
