@@ -337,3 +337,17 @@ def test_corner_cull_output_bit_exact_and_shrinks():
             power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
             amax = (op[g] * np.exp(np.minimum(power, 0.0))).max()
             assert amax < 1.0 / 255.0, (t, g, amax)
+
+
+def test_packed_step_table_limits_guard():
+    """The SMEM-packed step tables use 17 blk bits / 14 tile bits; the
+    static guard must reject out-of-range grids loudly."""
+    import pytest
+
+    from street_gaussians_tpu.ops.tile_raster2 import _check_pack_limits
+
+    _check_pack_limits(2 ** 17, 2 ** 14 - 1)  # boundary: fine
+    with pytest.raises(ValueError, match="payload blocks"):
+        _check_pack_limits(2 ** 17 + 1, 100)
+    with pytest.raises(ValueError, match="tiles"):
+        _check_pack_limits(100, 2 ** 14)

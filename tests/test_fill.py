@@ -72,3 +72,19 @@ def test_expand_runs_all_empty():
         interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(out), np.zeros((2, 1024)))
+
+
+def test_expand_runs_rejects_2pow24_runs():
+    """Integer channels ride the f32 select-matmul, exact only below
+    2^24 — the guard must fail loudly instead of rounding ids
+    (ADVICE r4)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from street_gaussians_tpu.ops.fill import expand_runs
+
+    N = 2 ** 24
+    vals = jnp.zeros((1, N), jnp.float32)
+    offs = jnp.zeros((N,), jnp.int32)
+    with pytest.raises(ValueError, match="2\\*\\*24"):
+        expand_runs(vals, offs, jnp.asarray(0, jnp.int32), 512)
