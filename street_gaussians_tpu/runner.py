@@ -1196,7 +1196,7 @@ def render_sets(cfg: Config, state=None, scene=None) -> Dict:
     view_caps: Dict[int, int] = {}
     maxcap = int(cfg.render.get("max_instance_capacity", 2 ** 23))
     ladder = []
-    _c = 1 << 17
+    _c = 1024
     while _c < maxcap:
         ladder.append(_c)
         _c = (int(_c * 1.5) + 127) // 128 * 128
