@@ -24,8 +24,13 @@ def main():
     ap.add_argument("--iters", type=int, default=15)
     args = ap.parse_args()
 
+    import importlib
+
     from street_gaussians_tpu.ops import fill as fill_lib
-    from street_gaussians_tpu.ops import rasterize as raster_lib
+
+    # the ops package re-exports the rasterize FUNCTION under the same
+    # name — fetch the module explicitly
+    raster_lib = importlib.import_module("street_gaussians_tpu.ops.rasterize")
 
     if args.fill:
         g, _, c = args.fill.partition("x")
