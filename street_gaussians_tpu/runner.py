@@ -1301,6 +1301,13 @@ def render_sets(cfg: Config, state=None, scene=None) -> Dict:
                 dropped = int(jax.device_get(r["overflow_instance"]))
                 need = max(int((cur + dropped) * 1.3), cur * 2)
                 new_cap = next((c for c in ladder if c >= need), maxcap)
+                if new_cap <= cur:
+                    print(
+                        f"[render] {view.image_name}: demand exceeds "
+                        f"max_instance_capacity={maxcap} — rendering "
+                        f"with {dropped} dropped instances"
+                    )
+                    break
                 print(
                     f"[render] overflow at {view.image_name} "
                     f"({dropped} dropped): view capacity {cur} -> "
