@@ -81,3 +81,29 @@ def test_render_sets_regrows_on_overflow(tmp_path):
     split_dir = os.path.join(cfg.model_path, "train_renders")
     imgs = os.listdir(split_dir)
     assert len(imgs) == 3
+
+
+def test_render_sets_ceiling_renders_with_drops(tmp_path, capsys):
+    """When a frame's demand exceeds max_instance_capacity, the regrow
+    loop must stop at the ceiling and render WITH documented drops —
+    not retry the same capacity 8 times (regression: the 30k-protocol
+    render re-rendered one over-ceiling view 8x at identical capacity,
+    round 5)."""
+    root = str(tmp_path / "seq")
+    write_synthetic_waymo(root, num_frames=2, cameras=(0,))
+    cfg = _cfg(tmp_path, root)
+
+    from street_gaussians_tpu.runner import render_sets, training
+
+    training(cfg, progress=False)
+    cfg.render.auto_size_capacity = False
+    cfg.render.instance_capacity = 256
+    cfg.render.max_instance_capacity = 256  # below the scene's demand
+    out = render_sets(cfg)
+    text = capsys.readouterr().out
+    assert "demand exceeds max_instance_capacity" in text
+    # at most one regrow attempt per frame before hitting the ceiling
+    assert text.count("demand exceeds") <= 4
+    assert "fps" in out
+    imgs = os.listdir(os.path.join(cfg.model_path, "train_renders"))
+    assert len(imgs) == 2
